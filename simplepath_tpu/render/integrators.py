@@ -1,0 +1,413 @@
+"""Light-transport integrators as per-ray pure functions.
+
+TPU-native port of ``/root/reference/Integrators/Integrator.{h,cpp}``: the
+recursive/early-exit per-ray loops become fixed-trip ``lax.scan``/unrolled
+loops with an ``alive`` mask; ``break`` becomes mask clearing.  Each
+integrator maps (scene, ro, rd, key) -> RGB and is vmapped over the ray batch
+by the render driver.
+
+Faithfully reproduced reference quirks (verified against the C++):
+
+* The flagship NEE integrator adds UNWEIGHTED light radiance when the path
+  ray hits a light (Integrator.cpp:627-629) on top of the MIS NEE estimate —
+  sphere lights are intentionally double-counted exactly as the reference
+  does.
+* ``estimate_direct_mis``'s BSDF-strategy occlusion test runs with
+  t_max = ∞ and includes the lights themselves (Integrator.cpp:532-535 +
+  Scene.h:79-82), so that strategy contributes only for environment lights
+  with an unobstructed path.
+* ``BruteForceIntegrator`` (recursive flavor) uses signed cosine and a fresh
+  t_min = ε each bounce (Integrator.cpp:116-149).
+* Whitted's specular recursion does not attenuate by the specular sample
+  (Integrator.cpp:357-363).
+
+RNG: every uniform draw has a static site id; per-depth keys are
+``fold_in(key, depth)`` so lanes and bounces decorrelate.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..core.color import hsv_to_rgb, relative_luminance
+from ..core.onb import onb_from_v, onb_to_local, onb_to_world
+from ..core.rng import uniform_1d, uniform_2d
+from ..core.smath import balance_heuristic_counts
+from ..core.vec import dot
+from ..scene.types import ENV_NONE, Scene
+from .intersect import INF_DISTANCE, RAY_EPSILON
+from .lights import (env_light_pdf, env_light_sample, get_ray_offset,
+                     get_ray_offset_nd, sphere_light_pdf, sphere_light_sample)
+from .materials import (HitMaterial, gather_material, material_eval,
+                        material_pdf, material_sample)
+from .traverse import (hit_shading, scene_intersect, scene_intersect_lights,
+                       scene_intersect_p)
+
+__all__ = ["make_integrator", "INTEGRATOR_FNS"]
+
+# Draw-site ids (stable across the codebase)
+SITE_MAT_LAYER = 0
+SITE_MAT_LOBE = 1
+SITE_MAT_2D = 2
+SITE_RR = 3
+SITE_LIGHT_BASE = 16          # per light l: base + 8*l + {0: light 2D, 1-3: NEE material}
+
+
+def _light_sites(light_index: int) -> tuple[int, int, int, int]:
+    b = SITE_LIGHT_BASE + 8 * light_index
+    return b, b + 1, b + 2, b + 3
+
+
+def _sample_material_at(scene: Scene, rho_tables, mid, wo_local, key, s_layer,
+                        s_lobe, s_2d):
+    m = gather_material(scene.materials, rho_tables, mid)
+    u_layer = uniform_1d(key, s_layer)
+    u_lobe = uniform_1d(key, s_lobe)
+    u2 = uniform_2d(key, s_2d)
+    return m, material_sample(m, wo_local, u_layer, u_lobe, u2)
+
+
+def _num_lights(scene: Scene) -> int:
+    return scene.static.num_sphere_lights + (1 if scene.static.env_kind != ENV_NONE else 0)
+
+
+def _light_sample(scene: Scene, light_index: int, p, n, u):
+    """Unified light.sample over the static light list: sphere lights first,
+    then the environment light (parse order quirk notwithstanding — order
+    only matters for RNG pairing, not the estimate)."""
+    ns = scene.static.num_sphere_lights
+    if light_index < ns:
+        return sphere_light_sample(scene.sphere_lights, light_index, p, n, u)
+    ls = env_light_sample(scene.env, scene.static.env_kind, u)
+    # InfiniteLight: shadow ray t_min from observer normal (Light.h:42-44)
+    return ls._replace(t_min=get_ray_offset_nd(n, ls.wi))
+
+
+def _light_pdf(scene: Scene, light_index: int, p, wi):
+    ns = scene.static.num_sphere_lights
+    if light_index < ns:
+        return sphere_light_pdf(scene.sphere_lights, light_index, p, wi)
+    return env_light_pdf(scene.env, scene.static.env_kind, wi)
+
+
+def _estimate_direct_mis(scene: Scene, rho_tables, light_index: int, p, n,
+                         wo_world, onb, m: HitMaterial, key) -> Array:
+    """estimate_direct_mis (Integrator.cpp:486-539) for one light."""
+    s_u, s_layer, s_lobe, s_2d = _light_sites(light_index)
+    ls = _light_sample(scene, light_index, p, n, uniform_2d(key, s_u))
+    ls_ok = (ls.pdf > 0.0) & jnp.any(ls.L != 0.0)
+
+    occluded = scene_intersect_p(scene, p, ls.wi, ls.t_min, ls.t_max)
+
+    wo_local = onb_to_local(onb, wo_world)
+    wi_local = onb_to_local(onb, ls.wi)
+    f = material_eval(m, wo_local, wi_local)
+    bsdf_pdf = material_pdf(m, wo_local, wi_local)
+    w1 = balance_heuristic_counts(1, ls.pdf, 1, bsdf_pdf)
+    strat1 = f * ls.L * (jnp.abs(dot(ls.wi, n)) * w1 / jnp.where(ls.pdf > 0, ls.pdf, 1.0))
+    strat1 = jnp.where(ls_ok & ~occluded & jnp.any(f != 0.0) & (bsdf_pdf > 0.0),
+                       strat1, 0.0)
+
+    # BSDF-sampling strategy (Integrator.cpp:517-536)
+    u_layer = uniform_1d(key, s_layer)
+    u_lobe = uniform_1d(key, s_lobe)
+    u2 = uniform_2d(key, s_2d)
+    ms = material_sample(m, wo_local, u_layer, u_lobe, u2)
+    ms_ok = (ms.pdf > 0.0) & jnp.any(ms.color != 0.0)
+    wi2 = onb_to_world(onb, ms.wi)
+    light_pdf2 = _light_pdf(scene, light_index, p, wi2)
+    w2 = balance_heuristic_counts(1, ms.pdf, 1, light_pdf2)
+    mat_t_min = get_ray_offset_nd(n, wi2)
+    lhit, _, lL = scene_intersect_lights(scene, p, wi2, mat_t_min,
+                                         jnp.asarray(INF_DISTANCE, jnp.float32))
+    blocked = scene_intersect_p(scene, p, wi2, mat_t_min,
+                                jnp.asarray(INF_DISTANCE, jnp.float32))
+    strat2 = (ms.color * lL * (jnp.abs(dot(wi2, n)) * w2
+                               / jnp.where(ms.pdf > 0, ms.pdf, 1.0)))
+    strat2 = jnp.where(ms_ok & (light_pdf2 > 0.0) & lhit & ~blocked, strat2, 0.0)
+    return strat1 + strat2
+
+
+def _estimate_direct(scene: Scene, rho_tables, light_index: int, p, n,
+                     wo_world, onb, m: HitMaterial, key) -> Array:
+    """estimate_direct without MIS (Integrator.cpp:462-484) — the
+    direct-lighting integrator's inner term."""
+    s_u, _, _, _ = _light_sites(light_index)
+    ls = _light_sample(scene, light_index, p, n, uniform_2d(key, s_u))
+    ls_ok = (ls.pdf > 0.0) & jnp.any(ls.L != 0.0)
+    wo_local = onb_to_local(onb, wo_world)
+    wi_local = onb_to_local(onb, ls.wi)
+    f = material_eval(m, wo_local, wi_local)
+    occluded = scene_intersect_p(scene, p, ls.wi, ls.t_min, ls.t_max)
+    contrib = f * ls.L * (jnp.abs(dot(ls.wi, n)) / jnp.where(ls.pdf > 0, ls.pdf, 1.0))
+    return jnp.where(ls_ok & jnp.any(f != 0.0) & ~occluded, contrib, 0.0)
+
+
+# ------------------------------------------------------------- integrators
+
+def integrate_direct_lighting(scene: Scene, rho_tables, ro, rd, key,
+                              pixel_coords=None) -> Array:
+    """DirectLightingIntegrator (Integrator.cpp:277-312)."""
+    t_min = jnp.asarray(RAY_EPSILON, jnp.float32)
+    t_max0 = jnp.asarray(INF_DISTANCE, jnp.float32)
+    lhit, ldist, lL = scene_intersect_lights(scene, ro, rd, t_min, t_max0)
+    t_max = jnp.where(lhit, ldist, t_max0)
+    hit = scene_intersect(scene, ro, rd, t_min, t_max)
+
+    L = jnp.zeros(3, jnp.float32)
+    p, n, mid = hit_shading(scene, hit, ro, rd)
+    onb = onb_from_v(n)
+    wo = -rd
+    m = gather_material(scene.materials, rho_tables, mid)
+    for li in range(_num_lights(scene)):
+        L = L + jnp.where(hit.valid,
+                          _estimate_direct(scene, rho_tables, li, p, n, wo, onb, m, key),
+                          0.0)
+    L = jnp.where(~hit.valid & lhit, lL, L)
+    return L
+
+
+def integrate_rrnee(scene: Scene, rho_tables, ro, rd, key, pixel_coords=None) -> Array:
+    """IntegratorIterativeRRNEE — the flagship (Integrator.cpp:550-635).
+
+    Fixed max_depth trip count with an alive mask; every bounce:
+    light-clamp → geometry intersect → material sample → NEE(MIS) over all
+    lights → throughput update → RR → ray advance; termination adds
+    unweighted light radiance.
+    """
+    max_depth = scene.static.max_depth
+    rr_depth = scene.static.russian_roulette_depth
+    rr_cutoff = 0.1
+
+    def body(depth, state):
+        ro, rd, t_min, throughput, L, alive = state
+        dkey = jax.random.fold_in(key, depth)
+
+        lhit, ldist, lL = scene_intersect_lights(scene, ro, rd, t_min,
+                                                 jnp.asarray(INF_DISTANCE, jnp.float32))
+        t_max = jnp.where(lhit, ldist, INF_DISTANCE)
+        hit = scene_intersect(scene, ro, rd, t_min, t_max)
+
+        p, n, mid = hit_shading(scene, hit, ro, rd)
+        onb = onb_from_v(n)
+        wo = -rd
+        wo_local = onb_to_local(onb, wo)
+        m, ms = _sample_material_at(scene, rho_tables, mid, wo_local, dkey,
+                                    SITE_MAT_LAYER, SITE_MAT_LOBE, SITE_MAT_2D)
+        ms_ok = (ms.pdf > 0.0) & jnp.any(ms.color != 0.0)
+
+        # NEE over all lights (Integrator.cpp:589-600)
+        nee = jnp.zeros(3, jnp.float32)
+        for li in range(_num_lights(scene)):
+            nee = nee + _estimate_direct_mis(scene, rho_tables, li, p, n, wo,
+                                             onb, m, dkey)
+        L = L + jnp.where(alive & hit.valid & ms_ok, throughput * nee, 0.0)
+
+        # throughput update (Integrator.cpp:603-607)
+        wi = onb_to_world(onb, ms.wi)
+        cosine = jnp.abs(dot(wi, n))
+        contrib = cosine * ms.color / jnp.where(ms.pdf > 0, ms.pdf, 1.0)
+        new_throughput = throughput * contrib
+
+        # Russian roulette (Integrator.cpp:609-621)
+        do_rr = depth >= rr_depth
+        lum = relative_luminance(new_throughput)
+        rr_active = do_rr & (lum < rr_cutoff)
+        q = jnp.maximum(0.05, lum / rr_cutoff)
+        u_rr = uniform_1d(dkey, SITE_RR)
+        rr_continue = u_rr < q
+        new_throughput = jnp.where(rr_active & rr_continue,
+                                   new_throughput / q, new_throughput)
+
+        # termination bookkeeping
+        escaped = alive & ~hit.valid
+        L = L + jnp.where(escaped & lhit, throughput * lL, 0.0)
+        continues = alive & hit.valid & ms_ok & ~(rr_active & ~rr_continue)
+
+        new_ro = ro + hit.t * rd
+        new_t_min = get_ray_offset(cosine)
+        ro_out = jnp.where(continues, new_ro, ro)
+        rd_out = jnp.where(continues, wi, rd)
+        t_min_out = jnp.where(continues, new_t_min, t_min)
+        thr_out = jnp.where(continues, new_throughput, throughput)
+        return ro_out, rd_out, t_min_out, thr_out, L, continues
+
+    state0 = (ro, rd, jnp.asarray(RAY_EPSILON, jnp.float32),
+              jnp.ones(3, jnp.float32), jnp.zeros(3, jnp.float32),
+              jnp.asarray(True))
+    state = jax.lax.fori_loop(0, max_depth, body, state0)
+    return state[4]
+
+
+def _integrate_bruteforce_common(scene: Scene, rho_tables, ro, rd, key,
+                                 *, abs_cosine: bool, offset_tmin: bool,
+                                 use_rr: bool) -> Array:
+    """Shared body for the three brute-force integrators
+    (Integrator.cpp:116-266)."""
+    max_depth = scene.static.max_depth
+    rr_depth = scene.static.russian_roulette_depth
+    rr_cutoff = 0.1
+
+    def body(depth, state):
+        ro, rd, t_min, throughput, L, alive = state
+        dkey = jax.random.fold_in(key, depth)
+
+        lhit, ldist, lL = scene_intersect_lights(scene, ro, rd, t_min,
+                                                 jnp.asarray(INF_DISTANCE, jnp.float32))
+        t_max = jnp.where(lhit, ldist, INF_DISTANCE)
+        hit = scene_intersect(scene, ro, rd, t_min, t_max)
+
+        p, n, mid = hit_shading(scene, hit, ro, rd)
+        onb = onb_from_v(n)
+        wo_local = onb_to_local(onb, -rd)
+        m, ms = _sample_material_at(scene, rho_tables, mid, wo_local, dkey,
+                                    SITE_MAT_LAYER, SITE_MAT_LOBE, SITE_MAT_2D)
+        ms_ok = (ms.pdf > 0.0) & jnp.any(ms.color != 0.0)
+
+        wi = onb_to_world(onb, ms.wi)
+        cosine_signed = dot(wi, n)
+        cosine = jnp.abs(cosine_signed) if abs_cosine else cosine_signed
+        contrib = cosine * ms.color / jnp.where(ms.pdf > 0, ms.pdf, 1.0)
+        new_throughput = throughput * contrib
+
+        continues = alive & hit.valid & ms_ok
+        if use_rr:
+            do_rr = depth >= rr_depth
+            lum = relative_luminance(new_throughput)
+            rr_active = do_rr & (lum < rr_cutoff)
+            q = jnp.maximum(0.05, lum / rr_cutoff)
+            rr_continue = uniform_1d(dkey, SITE_RR) < q
+            new_throughput = jnp.where(rr_active & rr_continue,
+                                       new_throughput / q, new_throughput)
+            continues = continues & ~(rr_active & ~rr_continue)
+
+        escaped = alive & ~hit.valid
+        L = L + jnp.where(escaped & lhit, throughput * lL, 0.0)
+
+        new_t_min = get_ray_offset(jnp.abs(cosine_signed)) if offset_tmin \
+            else jnp.asarray(RAY_EPSILON, jnp.float32)
+        ro_out = jnp.where(continues, ro + hit.t * rd, ro)
+        rd_out = jnp.where(continues, wi, rd)
+        t_min_out = jnp.where(continues, new_t_min, t_min)
+        thr_out = jnp.where(continues, new_throughput, throughput)
+        return ro_out, rd_out, t_min_out, thr_out, L, continues
+
+    state0 = (ro, rd, jnp.asarray(RAY_EPSILON, jnp.float32),
+              jnp.ones(3, jnp.float32), jnp.zeros(3, jnp.float32),
+              jnp.asarray(True))
+    state = jax.lax.fori_loop(0, max_depth, body, state0)
+    return state[4]
+
+
+def integrate_brute_force(scene, rho_tables, ro, rd, key, pixel_coords=None):
+    """Recursive BruteForceIntegrator semantics (signed cosine, fresh ε
+    t_min; Integrator.cpp:116-149)."""
+    return _integrate_bruteforce_common(scene, rho_tables, ro, rd, key,
+                                        abs_cosine=False, offset_tmin=False,
+                                        use_rr=False)
+
+
+def integrate_brute_force_iterative(scene, rho_tables, ro, rd, key, pixel_coords=None):
+    """BruteForceIntegratorIterative (Integrator.cpp:160-200)."""
+    return _integrate_bruteforce_common(scene, rho_tables, ro, rd, key,
+                                        abs_cosine=True, offset_tmin=True,
+                                        use_rr=False)
+
+
+def integrate_brute_force_iterative_rr(scene, rho_tables, ro, rd, key, pixel_coords=None):
+    """BruteForceIntegratorIterativeRR (Integrator.cpp:211-266)."""
+    return _integrate_bruteforce_common(scene, rho_tables, ro, rd, key,
+                                        abs_cosine=True, offset_tmin=True,
+                                        use_rr=True)
+
+
+def integrate_whitted(scene: Scene, rho_tables, ro, rd, key, pixel_coords=None) -> Array:
+    """WhittedIntegrator (Integrator.cpp:323-368): direct lighting plus an
+    unattenuated specular chain (reference quirk)."""
+    from .materials import PROP_SPECULAR
+
+    max_depth = scene.static.max_depth
+
+    def body(depth, state):
+        ro, rd, L, alive = state
+        dkey = jax.random.fold_in(key, depth)
+        t_min = jnp.asarray(RAY_EPSILON, jnp.float32)
+        lhit, ldist, lL = scene_intersect_lights(scene, ro, rd, t_min,
+                                                 jnp.asarray(INF_DISTANCE, jnp.float32))
+        t_max = jnp.where(lhit, ldist, INF_DISTANCE)
+        hit = scene_intersect(scene, ro, rd, t_min, t_max)
+
+        p, n, mid = hit_shading(scene, hit, ro, rd)
+        onb = onb_from_v(n)
+        wo = -rd
+        m = gather_material(scene.materials, rho_tables, mid)
+        direct = jnp.zeros(3, jnp.float32)
+        for li in range(_num_lights(scene)):
+            direct = direct + _estimate_direct(scene, rho_tables, li, p, n, wo,
+                                               onb, m, dkey)
+        L = L + jnp.where(alive & hit.valid, direct, 0.0)
+        L = L + jnp.where(alive & ~hit.valid & lhit, lL, 0.0)
+
+        wo_local = onb_to_local(onb, wo)
+        _, ms = _sample_material_at(scene, rho_tables, mid, wo_local, dkey,
+                                    SITE_MAT_LAYER, SITE_MAT_LOBE, SITE_MAT_2D)
+        is_spec = (ms.properties & PROP_SPECULAR) != 0
+        continues = alive & hit.valid & is_spec
+        wi = onb_to_world(onb, ms.wi)
+        # reference starts the specular ray at the hit POINT with default
+        # limits (Integrator.cpp:360) — no offset quirk kept via fresh ε t_min
+        ro_out = jnp.where(continues, p, ro)
+        rd_out = jnp.where(continues, wi, rd)
+        return ro_out, rd_out, L, continues
+
+    state0 = (ro, rd, jnp.zeros(3, jnp.float32), jnp.asarray(True))
+    state = jax.lax.fori_loop(0, max_depth, body, state0)
+    return state[2]
+
+
+def integrate_mandelbrot(scene: Scene, rho_tables, ro, rd, key, pixel_coords=None) -> Array:
+    """MandelbrotIntegrator (Integrator.cpp:59-105) — tile/film smoke test."""
+    max_iter = 1000
+    width, height = scene.static.width, scene.static.height
+    px, py = pixel_coords[0], pixel_coords[1]
+    x0, x1, y0, y1 = -2.0, 1.0, -1.0, 1.0
+    x = x0 + px * (x1 - x0) / width
+    y = y0 + py * (y1 - y0) / height
+
+    def body(_, state):
+        zr, zi, count, active = state
+        mag2 = zr * zr + zi * zi
+        active = active & (mag2 <= 4.0)
+        new_re = zr * zr - zi * zi
+        new_im = 2.0 * zr * zi
+        zr = jnp.where(active, x + new_re, zr)
+        zi = jnp.where(active, y + new_im, zi)
+        count = count + active.astype(jnp.int32)
+        return zr, zi, count, active
+
+    zr0 = jnp.asarray(x, jnp.float32)
+    zi0 = jnp.asarray(y, jnp.float32)
+    _, _, count, _ = jax.lax.fori_loop(
+        0, max_iter, body, (zr0, zi0, jnp.asarray(0, jnp.int32), jnp.asarray(True)))
+    value = count.astype(jnp.float32) / max_iter
+    hue = jnp.mod(jnp.power(value * 360.0, 1.5), 360.0) / 360.0
+    return hsv_to_rgb(hue, jnp.asarray(1.0, jnp.float32), value)
+
+
+INTEGRATOR_FNS = {
+    "mandelbrot": integrate_mandelbrot,
+    "brute_force": integrate_brute_force,
+    "brute_force_iterative": integrate_brute_force_iterative,
+    "brute_force_iterative_rr": integrate_brute_force_iterative_rr,
+    "iterative_rrnee": integrate_rrnee,
+    "direct_lighting": integrate_direct_lighting,
+    "whitted": integrate_whitted,
+}
+
+
+def make_integrator(name: str):
+    if name not in INTEGRATOR_FNS:
+        raise ValueError(f"Unknown integrator type: {name}")
+    return INTEGRATOR_FNS[name]

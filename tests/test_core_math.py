@@ -1,0 +1,221 @@
+"""Unit tests for the math core against reference formulas.
+
+Mirrors the reference's checked invariants (UnitTests.cpp + in-code asserts)
+plus direct checks of the warp/ONB/distribution math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import special  # noqa: F401  (guard: available in image?)  # pragma: no cover
+
+from simplepath_tpu.core import sampling as sm
+from simplepath_tpu.core import smath
+from simplepath_tpu.core.distribution import (build_distribution_1d,
+                                              build_distribution_2d,
+                                              pdf_2d,
+                                              sample_continuous_1d,
+                                              sample_continuous_2d)
+from simplepath_tpu.core.onb import onb_from_v, onb_to_local, onb_to_world
+from simplepath_tpu.core.rng import pixel_jitter, r_sequence
+from simplepath_tpu.core.transform import (affine_compose, affine_identity,
+                                           affine_inverse, affine_rotate,
+                                           affine_scale, affine_translate,
+                                           apply_point, look_at)
+from simplepath_tpu.core.vec import cross, dot, length, normalize
+
+
+def keys(n, seed=0):
+    return jax.random.split(jax.random.PRNGKey(seed), n)
+
+
+class TestWarps:
+    def test_uniform_sphere_unit_and_covers(self):
+        u = jax.random.uniform(jax.random.PRNGKey(1), (2048, 2))
+        d = sm.sample_to_uniform_sphere(u)
+        np.testing.assert_allclose(np.asarray(length(d)), 1.0, atol=1e-5)
+        # covers both hemispheres in z (reference formula uses z as pole)
+        assert (np.asarray(d[:, 2]) > 0).any() and (np.asarray(d[:, 2]) < 0).any()
+
+    def test_uniform_hemisphere_y_up(self):
+        u = jax.random.uniform(jax.random.PRNGKey(2), (2048, 2))
+        d = sm.sample_to_uniform_hemisphere(u)
+        np.testing.assert_allclose(np.asarray(length(d)), 1.0, atol=1e-5)
+        assert (np.asarray(d[:, 1]) >= 0).all()
+
+    def test_cosine_hemisphere_distribution(self):
+        u = jax.random.uniform(jax.random.PRNGKey(3), (200_000, 2))
+        d = sm.sample_to_cosine_hemisphere(u)
+        # E[cos theta] under cosine-weighted sampling = 2/3
+        assert abs(float(jnp.mean(d[:, 1])) - 2.0 / 3.0) < 5e-3
+
+    def test_concentric_disk_in_unit_disk(self):
+        u = jax.random.uniform(jax.random.PRNGKey(4), (4096, 2))
+        d = sm.sample_to_concentric_disk(u)
+        r2 = np.asarray(d[:, 0] ** 2 + d[:, 1] ** 2)
+        assert (r2 <= 1.0 + 1e-6).all()
+        # degenerate center input maps to origin
+        z = sm.sample_to_concentric_disk(jnp.array([0.5, 0.5]))
+        np.testing.assert_allclose(np.asarray(z), 0.0, atol=1e-7)
+
+    def test_cone_within_angle(self):
+        u = jax.random.uniform(jax.random.PRNGKey(5), (4096, 2))
+        ctm = 0.8
+        d = sm.sample_to_uniform_cone(u, ctm)
+        assert (np.asarray(d[:, 1]) >= ctm - 1e-5).all()
+
+    def test_spherical_roundtrip(self):
+        u = jax.random.uniform(jax.random.PRNGKey(6), (512, 2))
+        d = sm.sample_to_uniform_sphere(u)
+        theta = sm.spherical_theta(d)
+        phi = sm.spherical_phi(d)
+        # y-up: reconstruct via spherical_direction
+        d2 = sm.spherical_direction(jnp.sin(theta), jnp.cos(theta), phi)
+        # spherical_theta uses v.y as cos — d was built z-pole so compare via
+        # the reconstruction identity instead of equality with d:
+        np.testing.assert_allclose(np.asarray(d2[:, 1]), np.asarray(d[:, 1]), atol=1e-5)
+
+
+class TestONB:
+    def test_orthonormal(self):
+        n = normalize(jax.random.normal(jax.random.PRNGKey(7), (256, 3)))
+        onb = onb_from_v(n)
+        u, v, w = onb[:, 0], onb[:, 1], onb[:, 2]
+        np.testing.assert_allclose(np.asarray(dot(u, v)), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dot(v, w)), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dot(u, w)), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(length(u)), 1.0, atol=1e-5)
+        # v axis is the normal (Material.h:464 shading frame is from_v)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(n), atol=1e-6)
+
+    def test_roundtrip(self):
+        n = normalize(jnp.array([0.3, 0.8, -0.5]))
+        onb = onb_from_v(n)
+        a = jnp.array([0.2, 0.5, -0.8])
+        w = onb_to_world(onb, a)
+        a2 = onb_to_local(onb, w)
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(a), atol=1e-5)
+
+    def test_local_y_is_normal_dot(self):
+        n = normalize(jnp.array([0.1, -0.7, 0.2]))
+        onb = onb_from_v(n)
+        d = normalize(jnp.array([0.5, 0.5, 0.5]))
+        local = onb_to_local(onb, d)
+        np.testing.assert_allclose(float(local[1]), float(dot(d, n)), atol=1e-5)
+
+
+class TestTransforms:
+    def test_compose_inverse(self):
+        a = affine_compose(affine_translate([1.0, 2.0, 3.0]),
+                           affine_compose(affine_rotate([0, 1, 0], 37.0),
+                                          affine_scale([2.0, 3.0, 4.0])))
+        inv = affine_inverse(a)
+        p = jnp.array([0.3, -0.6, 1.1])
+        np.testing.assert_allclose(np.asarray(apply_point(inv, apply_point(a, p))),
+                                   np.asarray(p), atol=1e-5)
+
+    def test_rotate_matches_reference_formula(self):
+        # 90° about y: x → -z (column convention check)
+        r = affine_rotate([0, 1, 0], 90.0)
+        p = apply_point(r, jnp.array([1.0, 0.0, 0.0]))
+        np.testing.assert_allclose(np.asarray(p), [0.0, 0.0, -1.0], atol=1e-6)
+
+    def test_look_at(self):
+        la = look_at([0.0, 0.0, 5.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+        # z column points from eye to target
+        np.testing.assert_allclose(np.asarray(la.linear[:, 2]), [0, 0, -1], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(la.t), [0, 0, 5], atol=1e-6)
+
+
+class TestScalarMath:
+    def test_balance_heuristic(self):
+        w = smath.balance_heuristic_counts(1, jnp.asarray(0.3), 1, jnp.asarray(0.7))
+        np.testing.assert_allclose(float(w), 0.3, atol=1e-6)
+        assert float(smath.balance_heuristic_counts(1, jnp.asarray(0.0), 1,
+                                                    jnp.asarray(0.0))) == 0.0
+
+    def test_erfinv_matches_scipy(self):
+        from scipy.special import erfinv as scipy_erfinv
+        x = np.linspace(-0.999, 0.999, 101).astype(np.float32)
+        got = np.asarray(smath.erfinv(jnp.asarray(x)))
+        np.testing.assert_allclose(got, scipy_erfinv(x.astype(np.float64)),
+                                   atol=2e-3, rtol=1e-2)
+
+    def test_fresnel_range_and_tir(self):
+        f = smath.fresnel_dielectric(jnp.asarray(1.0), 1.0, 1.5)
+        np.testing.assert_allclose(float(f), ((1.5 - 1) / (1.5 + 1)) ** 2, atol=1e-5)
+        # total internal reflection from inside at grazing angle
+        f_tir = smath.fresnel_dielectric(jnp.asarray(-0.1), 1.0, 1.5)
+        assert float(f_tir) == 1.0
+
+
+class TestDistributions:
+    # Golden values from a compiled probe of the reference's
+    # Distribution1D.h / Distribution2D.h (see distribution.py docstring for
+    # the left-shifted-CDF quirk these encode).
+    def test_1d_golden_parity(self):
+        d = build_distribution_1d(jnp.asarray([1.0, 3.0, 0.0, 4.0]))
+        u = jnp.asarray([0.05, 0.1, 0.2, 0.3, 0.6, 0.9, 0.999])
+        x, pdf, off = sample_continuous_1d(d, u)
+        np.testing.assert_allclose(
+            np.asarray(x),
+            [-0.050000, -0.016667, 0.175, 0.2, 0.65, 0.725, 0.74975],
+            atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(pdf), [0.5, 0.5, 1.5, 1.5, 2.0, 2.0, 2.0], atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(off), [0, 0, 1, 1, 3, 3, 3])
+
+    def test_1d_offset_distribution(self):
+        # bin-selection frequencies must match the masses (the quirky du
+        # only shifts positions, not bin choice)
+        f = jnp.asarray([1.0, 3.0, 0.0, 4.0])
+        d = build_distribution_1d(f)
+        u = jax.random.uniform(jax.random.PRNGKey(8), (100_000,))
+        _, _, off = sample_continuous_1d(d, u)
+        counts = np.bincount(np.asarray(off), minlength=4) / 100_000
+        np.testing.assert_allclose(counts, [1 / 8, 3 / 8, 0, 4 / 8], atol=0.01)
+
+    def test_2d_golden_parity(self):
+        d = build_distribution_2d(jnp.asarray([[1.0, 0.0], [0.0, 3.0]]))
+        u = jnp.asarray([[0.1, 0.1], [0.1, 0.6], [0.6, 0.1], [0.6, 0.6]])
+        st, pdf = sample_continuous_2d(d, u)
+        np.testing.assert_allclose(
+            np.asarray(st),
+            [[-0.45, -0.1], [-0.4, 0.3], [-0.2, -0.1], [0.1, 0.3]],
+            atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pdf), [1.0, 3.0, 1.0, 3.0], atol=1e-5)
+
+    def test_2d_pdf_golden_parity(self):
+        d = build_distribution_2d(jnp.asarray([[1.0, 0.0], [0.0, 3.0]]))
+        p = jnp.asarray([[0.2, 0.2], [0.2, 0.8], [0.8, 0.2], [0.8, 0.8]])
+        np.testing.assert_allclose(np.asarray(pdf_2d(d, p)),
+                                   [1.0, 0.0, 0.0, 3.0], atol=1e-6)
+
+    def test_2d_pdf_integrates_to_one(self):
+        func = jnp.asarray(np.random.RandomState(0).rand(8, 16).astype(np.float32))
+        d = build_distribution_2d(func)
+        s = jnp.linspace(0.001, 0.999, 64)
+        t = jnp.linspace(0.001, 0.999, 64)
+        ss, tt = jnp.meshgrid(s, t)
+        p = pdf_2d(d, jnp.stack([ss.ravel(), tt.ravel()], axis=-1))
+        integral = float(jnp.mean(p))  # over unit square
+        assert abs(integral - 1.0) < 0.05
+
+
+class TestRng:
+    def test_r_sequence_matches_reference_formula(self):
+        # alphas from the generalized golden ratio (Sampler.h:18-27)
+        seed = jnp.asarray([0], jnp.uint32)
+        n = jnp.asarray([0])
+        v0 = np.asarray(r_sequence(seed, n, 2))[0]
+        g = 1.32471795724474602596
+        expect = [(1 / g) % 1.0, (1 / g ** 2) % 1.0]
+        np.testing.assert_allclose(v0, expect, atol=1e-4)
+
+    def test_pixel_jitter_in_unit_square(self):
+        x = jnp.arange(16, dtype=jnp.int32)
+        y = jnp.arange(16, dtype=jnp.int32)
+        j = pixel_jitter(x, y, jnp.zeros(16, jnp.int32))
+        arr = np.asarray(j)
+        assert (arr >= 0).all() and (arr < 1).all()
