@@ -1,0 +1,96 @@
+"""Command-line render driver.
+
+Mirrors the reference's CLI (``/root/reference/main.cpp:308-405``):
+
+    python -m simplepath_tpu.cli [--samples N] [--integrator NAME]
+                                 [--test] [--spp-chunk N] <scene.sp | ->
+
+``--threads`` is accepted for drop-in compatibility but ignored (the device
+replaces the thread pool).  ``--integrator`` overrides the scene, which
+overrides the DirectLighting default (main.cpp:387-392).  ``--test`` runs
+the built-in test suite like the reference's UnitTests path.  Output is
+written to the scene's ``output_file_name`` next to the scene file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+from .scene.types import INTEGRATORS
+
+logger = logging.getLogger("simplepath_tpu")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="simplepath_tpu",
+        description="TPU-native differentiable path tracer (SimplePath-compatible)")
+    ap.add_argument("scene", help=".sp scene file, or '-' for stdin")
+    ap.add_argument("--samples", type=int, default=1,
+                    help="samples per pixel (default 1, like the reference)")
+    ap.add_argument("--threads", type=int, default=None,
+                    help="accepted for compatibility; ignored (device-parallel)")
+    ap.add_argument("--integrator", choices=INTEGRATORS, default=None)
+    ap.add_argument("--test", action="store_true", help="run unit tests and exit")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu)")
+    ap.add_argument("--output", default=None, help="override output file name")
+    ap.add_argument("--stats", action="store_true", help="print render stats")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+
+    if args.test:
+        import pytest
+        return pytest.main(["-q", os.path.join(os.path.dirname(__file__),
+                                               os.pardir, "tests")])
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from . import load_scene, parse_sp, render_image
+    from .io.pfm import write_image
+    from .scene.build import build_scene
+
+    t0 = time.time()
+    if args.scene == "-":
+        ps = parse_sp(sys.stdin.read())
+        scene = build_scene(ps, cli_integrator=args.integrator)
+        out_dir = os.getcwd()
+    else:
+        scene = load_scene(args.scene, cli_integrator=args.integrator)
+        out_dir = os.path.dirname(os.path.abspath(args.scene))
+    t_parse = time.time() - t0
+
+    t0 = time.time()
+    img = render_image(scene, spp=args.samples, key=jax.random.PRNGKey(args.seed))
+    img.block_until_ready()
+    t_render = time.time() - t0
+
+    out = args.output or os.path.join(out_dir, scene.static.output_file_name)
+    import numpy as np
+    write_image(out, np.asarray(img))
+
+    w, h = scene.static.width, scene.static.height
+    rays = w * h * args.samples
+    print(f"Wrote {out}")
+    elapsed = t_parse + t_render
+    hh, rem = divmod(int(elapsed), 3600)
+    mm, ss = divmod(rem, 60)
+    cc = int((elapsed - int(elapsed)) * 100)
+    print(f"Elapsed time: {hh:02d}:{mm:02d}:{ss:02d}.{cc:02d}")
+    if args.stats:
+        print(f"parse: {t_parse:.2f}s  render: {t_render:.2f}s  "
+              f"primary rays/s: {rays / max(t_render, 1e-9):,.0f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -13,7 +13,7 @@ import math
 import jax.numpy as jnp
 from jax import Array
 
-from .vec import vec3
+from .vec import vec3, safe_sqrt
 
 PI = math.pi
 TWO_PI = 2.0 * math.pi
@@ -39,7 +39,7 @@ def sample_to_uniform_sphere(u: Array) -> Array:
     """Uniform direction on S²; matches Sampling.h:20-26 (z is the polar axis
     in the reference's formula even though the frame is y-up — reproduced)."""
     z = 1.0 - 2.0 * u[..., 0]
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = safe_sqrt(1.0 - z * z)
     phi = TWO_PI * u[..., 1]
     return vec3(r * jnp.cos(phi), r * jnp.sin(phi), z)
 
@@ -51,7 +51,7 @@ def uniform_sphere_pdf() -> float:
 def sample_to_uniform_hemisphere(u: Array) -> Array:
     """Uniform over the y>0 hemisphere (Sampling.h:33-39)."""
     y = u[..., 0]
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - y * y))
+    r = safe_sqrt(1.0 - y * y)
     phi = TWO_PI * u[..., 1]
     return vec3(r * jnp.cos(phi), y, r * jnp.sin(phi))
 
@@ -80,7 +80,7 @@ def sample_to_concentric_disk(u: Array) -> Array:
 def sample_to_cosine_hemisphere(u: Array) -> Array:
     """Cosine-weighted hemisphere via concentric disk (Sampling.h:46-51)."""
     d = sample_to_concentric_disk(u)
-    y = jnp.sqrt(jnp.maximum(0.0, 1.0 - d[..., 0] ** 2 - d[..., 1] ** 2))
+    y = safe_sqrt(1.0 - d[..., 0] ** 2 - d[..., 1] ** 2)
     return vec3(d[..., 0], y, d[..., 1])
 
 
@@ -91,7 +91,7 @@ def cosine_hemisphere_pdf(cos_theta: Array) -> Array:
 def sample_to_uniform_cone(u: Array, cos_theta_max: Array) -> Array:
     """Uniform in a cone around +y (Sampling.h:58-64)."""
     cos_theta = (1.0 - u[..., 0]) + u[..., 0] * cos_theta_max
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    sin_theta = safe_sqrt(1.0 - cos_theta * cos_theta)
     phi = u[..., 1] * TWO_PI
     return vec3(jnp.cos(phi) * sin_theta, cos_theta, jnp.sin(phi) * sin_theta)
 
@@ -106,7 +106,7 @@ def spherical_direction(sin_theta: Array, cos_theta: Array, phi: Array) -> Array
 
 
 def spherical_theta(v: Array) -> Array:
-    return jnp.arccos(jnp.clip(v[..., 1], -1.0, 1.0))
+    return jnp.arccos(jnp.clip(v[..., 1], -0.9999999, 0.9999999))
 
 
 def spherical_phi(v: Array) -> Array:

@@ -72,10 +72,10 @@ def fresnel_dielectric(cos_theta_i: Array, eta_i: float, eta_t: float) -> Array:
     et = jnp.where(entering, eta_t, eta_i)
     cti = jnp.abs(cti)
 
-    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - cti * cti))
+    sin_i = jnp.sqrt(jnp.maximum(1e-20, 1.0 - cti * cti))
     sin_t = ei / et * sin_i
     tir = sin_t >= 1.0
-    ctt = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+    ctt = jnp.sqrt(jnp.maximum(1e-20, 1.0 - sin_t * sin_t))
 
     r_parl = (et * cti - ei * ctt) / (et * cti + ei * ctt)
     r_perp = (ei * cti - et * ctt) / (ei * cti + et * ctt)
@@ -102,7 +102,7 @@ def sin2_theta(w: Array) -> Array:
 
 
 def sin_theta(w: Array) -> Array:
-    return jnp.sqrt(sin2_theta(w))
+    return jnp.sqrt(jnp.maximum(sin2_theta(w), 1e-20))
 
 
 def tan_theta(w: Array) -> Array:

@@ -84,6 +84,16 @@ def safe_divide(a, b):
     return jnp.where(b_arr == 0.0, 0.0, a / jnp.where(b_arr == 0.0, 1.0, b_arr))
 
 
+def safe_sqrt(x, floor: float = 1e-20) -> Array:
+    """sqrt clamped away from 0 so the backward jacobian stays finite.
+
+    sqrt' (x→0) = ∞; under autodiff a masked-out lane's 0-cotangent times
+    that ∞ is NaN.  The 1e-10 forward perturbation at exactly-0 inputs is
+    far below render precision.
+    """
+    return jnp.sqrt(jnp.maximum(x, floor))
+
+
 def is_normalized(a: Array, eps: float = 1e-3) -> Array:
     return jnp.abs(sqr_length(a) - 1.0) < eps
 

@@ -1,0 +1,69 @@
+"""Device-mesh sharding for rendering and training.
+
+TPU-native replacement for the reference's thread/tile work distribution
+(``/root/reference/base/TileScheduler.h``, main.cpp:109-142): the flat
+pixel/ray batch is sharded across a 1-D ``jax.sharding.Mesh`` ("rays" axis),
+the scene pytree is replicated, and forward rendering needs ZERO collectives
+— exactly like the reference's embarrassingly-parallel tiles, but across
+chips over ICI instead of threads over a shared heap.  The differentiable
+path's gradient all-reduce is inserted automatically by SPMD AD when the
+scalar loss averages over the sharded ray axis.
+
+Multi-host: call ``jax.distributed.initialize()`` before building the mesh;
+every host parses the same scene (deterministic build) and owns its pixel
+shard via ``host_local_array_to_global_array`` semantics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..scene.types import Scene
+
+__all__ = ["make_ray_mesh", "shard_pixels", "replicate_scene",
+           "render_image_sharded", "pad_to_multiple"]
+
+
+def make_ray_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), axis_names=("rays",))
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def shard_pixels(mesh: Mesh, xs, ys):
+    """Pad the flat pixel batch to a multiple of the mesh size and shard it."""
+    n = xs.shape[0]
+    n_dev = mesh.devices.size
+    n_pad = pad_to_multiple(n, n_dev)
+    xs = jnp.pad(xs, (0, n_pad - n))
+    ys = jnp.pad(ys, (0, n_pad - n))
+    sh = NamedSharding(mesh, P("rays"))
+    return jax.device_put(xs, sh), jax.device_put(ys, sh), n
+
+
+def replicate_scene(mesh: Mesh, scene: Scene) -> Scene:
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), scene)
+
+
+def render_image_sharded(scene: Scene, spp: int, key, mesh: Mesh | None = None,
+                         integrator: str | None = None):
+    """Full-frame render with the ray axis sharded across the mesh."""
+    from ..render.film import render_rays
+
+    mesh = mesh or make_ray_mesh()
+    h, w = scene.static.height, scene.static.width
+    ys_g, xs_g = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
+                              jnp.arange(w, dtype=jnp.int32), indexing="ij")
+    xs, ys, n = shard_pixels(mesh, xs_g.reshape(-1), ys_g.reshape(-1))
+    scene = replicate_scene(mesh, scene)
+
+    fn = jax.jit(render_rays, static_argnames=("spp", "integrator"))
+    flat = fn(scene, xs, ys, spp=spp, key=key, integrator=integrator)
+    return flat[:n].reshape(h, w, 3)

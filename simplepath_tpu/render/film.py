@@ -60,3 +60,75 @@ def render_image(scene: Scene, spp: int, key: Array,
                           jnp.arange(w, dtype=jnp.int32), indexing="ij")
     flat = render_rays(scene, xs.reshape(-1), ys.reshape(-1), spp, key, integrator)
     return flat.reshape(h, w, 3)
+
+
+def render_image_progressive(scene: Scene, spp: int, key: Array,
+                             integrator: str | None = None,
+                             chunk: int = 16,
+                             checkpoint_path: str | None = None,
+                             checkpoint_every: int = 64,
+                             progress: bool = False):
+    """Chunked render with optional checkpoint/resume.
+
+    Renders in ``chunk``-spp passes, accumulating an unaveraged film sum;
+    with ``checkpoint_path`` the film + completed-spp count is saved every
+    ``checkpoint_every`` samples and resumed on restart — the
+    capability the reference's multi-pass scaffolding never grew into
+    (TileScheduler.h:12-16, num_passes=1 at main.cpp:111).  Sample streams
+    are keyed by absolute sample index, so a resumed render is identical to
+    an uninterrupted one.
+    """
+    import numpy as np
+
+    from ..utils import ProgressBar, load_checkpoint, save_checkpoint
+
+    h, w = scene.static.height, scene.static.width
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
+                          jnp.arange(w, dtype=jnp.int32), indexing="ij")
+    xs, ys = xs.reshape(-1), ys.reshape(-1)
+    fn = make_integrator(integrator or scene.static.integrator)
+    rho = build_rho_tables(scene.materials)
+    lin = ys.astype(jnp.uint32) * jnp.uint32(w) + xs.astype(jnp.uint32)
+    pix_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(lin)
+
+    def render_range(s0: int, n: int):
+        def one_sample(s, film):
+            jitter = pixel_jitter(xs, ys, jnp.full_like(xs, s))
+            px = xs.astype(jnp.float32) + jitter[:, 0]
+            py = ys.astype(jnp.float32) + jitter[:, 1]
+            ro, rd = generate_ray(scene.camera, px, py)
+            keys = jax.vmap(lambda k: jax.random.fold_in(k, s))(pix_keys)
+            pcoords = jnp.stack([px, py], axis=-1)
+            L = jax.vmap(fn, in_axes=(None, None, 0, 0, 0, 0))(
+                scene, rho, ro, rd, keys, pcoords)
+            return film + L
+        return jax.lax.fori_loop(s0, s0 + n,
+                                 one_sample, jnp.zeros((xs.shape[0], 3), jnp.float32))
+
+    render_range_jit = jax.jit(render_range, static_argnums=(1,))
+
+    film_sum = np.zeros((xs.shape[0], 3), np.float32)
+    done = 0
+    if checkpoint_path:
+        ck = load_checkpoint(checkpoint_path)
+        if ck is not None:
+            film_ck, done, meta = ck
+            if meta.get("spp_target") == spp and film_ck.shape == film_sum.shape:
+                film_sum = film_ck
+
+    bar = ProgressBar(spp, "spp") if progress else None
+    last_ck = done
+    while done < spp:
+        n = min(chunk, spp - done)
+        film_sum = film_sum + np.asarray(render_range_jit(done, n))
+        done += n
+        if bar:
+            bar.update(n)
+            bar.draw()
+        if checkpoint_path and (done - last_ck >= checkpoint_every or done == spp):
+            save_checkpoint(checkpoint_path, film_sum, done,
+                            {"spp_target": spp})
+            last_ck = done
+    if bar:
+        bar.finish()
+    return jnp.asarray(film_sum / spp).reshape(h, w, 3)

@@ -110,7 +110,14 @@ def _estimate_direct_mis(scene: Scene, rho_tables, light_index: int, p, n,
     strat1 = jnp.where(ls_ok & ~occluded & jnp.any(f != 0.0) & (bsdf_pdf > 0.0),
                        strat1, 0.0)
 
-    # BSDF-sampling strategy (Integrator.cpp:517-536)
+    # BSDF-sampling strategy (Integrator.cpp:517-536).
+    # Reference quirk, reproduced: estimate_direct_mis RETURNS EARLY when the
+    # light-sample strategy is invalid or its shadow ray occluded
+    # (Integrator.cpp:498-505) — so this strategy only contributes when the
+    # light-sampled ray was valid AND unoccluded.  (Dropping a strategy
+    # conditioned on the other's visibility is statistically "wrong" MIS, but
+    # it is what the reference renders.)
+    strat2_enabled = ls_ok & ~occluded
     u_layer = uniform_1d(key, s_layer)
     u_lobe = uniform_1d(key, s_lobe)
     u2 = uniform_2d(key, s_2d)
@@ -126,7 +133,8 @@ def _estimate_direct_mis(scene: Scene, rho_tables, light_index: int, p, n,
                                 jnp.asarray(INF_DISTANCE, jnp.float32))
     strat2 = (ms.color * lL * (jnp.abs(dot(wi2, n)) * w2
                                / jnp.where(ms.pdf > 0, ms.pdf, 1.0)))
-    strat2 = jnp.where(ms_ok & (light_pdf2 > 0.0) & lhit & ~blocked, strat2, 0.0)
+    strat2 = jnp.where(strat2_enabled & ms_ok & (light_pdf2 > 0.0) & lhit & ~blocked,
+                       strat2, 0.0)
     return strat1 + strat2
 
 
@@ -226,7 +234,7 @@ def integrate_rrnee(scene: Scene, rho_tables, ro, rd, key, pixel_coords=None) ->
         L = L + jnp.where(escaped & lhit, throughput * lL, 0.0)
         continues = alive & hit.valid & ms_ok & ~(rr_active & ~rr_continue)
 
-        new_ro = ro + hit.t * rd
+        new_ro = p  # NaN-safe hit point from hit_shading (t clamped on miss)
         new_t_min = get_ray_offset(cosine)
         ro_out = jnp.where(continues, new_ro, ro)
         rd_out = jnp.where(continues, wi, rd)
@@ -288,7 +296,7 @@ def _integrate_bruteforce_common(scene: Scene, rho_tables, ro, rd, key,
 
         new_t_min = get_ray_offset(jnp.abs(cosine_signed)) if offset_tmin \
             else jnp.asarray(RAY_EPSILON, jnp.float32)
-        ro_out = jnp.where(continues, ro + hit.t * rd, ro)
+        ro_out = jnp.where(continues, p, ro)
         rd_out = jnp.where(continues, wi, rd)
         t_min_out = jnp.where(continues, new_t_min, t_min)
         thr_out = jnp.where(continues, new_throughput, throughput)
@@ -369,7 +377,7 @@ def integrate_whitted(scene: Scene, rho_tables, ro, rd, key, pixel_coords=None) 
 
 def integrate_mandelbrot(scene: Scene, rho_tables, ro, rd, key, pixel_coords=None) -> Array:
     """MandelbrotIntegrator (Integrator.cpp:59-105) — tile/film smoke test."""
-    max_iter = 1000
+    max_iter = 4096  # s_max_iterations (Integrator.h:69)
     width, height = scene.static.width, scene.static.height
     px, py = pixel_coords[0], pixel_coords[1]
     x0, x1, y0, y1 = -2.0, 1.0, -1.0, 1.0

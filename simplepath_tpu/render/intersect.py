@@ -16,6 +16,7 @@ Conventions:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -67,7 +68,11 @@ def sphere_normal(sph: SphereArrays, idx: Array, ro: Array, rd: Array, t: Array)
     o = w2o_l @ ro + w2o_t
     d = w2o_l @ rd
     n_obj = o + t * d  # radius 1
-    return normalize(sph.o2w_l[idx] @ n_obj)
+    n_world = sph.o2w_l[idx] @ n_obj
+    # guarded normalize: masked-out lanes may carry degenerate vectors whose
+    # 1/|n| jacobian would be NaN even under jnp.where
+    len2 = jnp.maximum(dot(n_world, n_world), 1e-12)
+    return n_world * jax.lax.rsqrt(len2)
 
 
 # ---------------------------------------------------------------- planes

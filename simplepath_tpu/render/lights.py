@@ -88,7 +88,7 @@ def _sphere_shape_pdf(lights: SphereLightArrays, li: int, observer_world: Array)
 
     sin2_1_5_deg = 0.00068523
     sin2_theta_max = 1.0 / jnp.maximum(sqr_dist, 1.0)
-    cos_theta_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_theta_max))
+    cos_theta_max = jnp.sqrt(jnp.maximum(1e-20, 1.0 - sin2_theta_max))
     one_minus = jnp.where(sin2_theta_max < sin2_1_5_deg,
                           sin2_theta_max / 2.0,
                           1.0 - cos_theta_max)
@@ -123,7 +123,8 @@ def sphere_light_intersect(lights: SphereLightArrays, li: int, ro: Array, rd: Ar
     c = dot(o, o) - 1.0
     disc = b * b - 4.0 * a * c
     has = disc > 0.0
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # guard: sqrt'(0)=∞ turns masked lanes' 0-cotangents into NaN under AD
+    sq = jnp.sqrt(jnp.where(has, jnp.maximum(disc, 1e-12), 1.0))
     t0 = (-b - sq) / (2.0 * a)
     t1 = (-b + sq) / (2.0 * a)
     t = jnp.where(t0 < t_min, t1, t0)

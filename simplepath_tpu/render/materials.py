@@ -139,7 +139,7 @@ def _beckmann_sample11(cos_theta_i: Array, u1: Array, u2: Array) -> tuple[Array,
     slope_y_ni = r_ni * jnp.sin(phi_ni)
 
     cti = jnp.minimum(cos_theta_i, 0.9999)  # keep general path finite
-    sin_theta_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - cti * cti))
+    sin_theta_i = jnp.sqrt(jnp.maximum(1e-20, 1.0 - cti * cti))
     tan_theta_i = sin_theta_i / cti
     cot_theta_i = 1.0 / jnp.maximum(tan_theta_i, 1e-12)
 
@@ -147,7 +147,7 @@ def _beckmann_sample11(cos_theta_i: Array, u1: Array, u2: Array) -> tuple[Array,
     c0 = jax.scipy.special.erf(cot_theta_i)
     sample_x = jnp.maximum(u1, 1e-6)
 
-    theta_i = jnp.arccos(jnp.clip(cti, -1.0, 1.0))
+    theta_i = jnp.arccos(jnp.clip(cti, -0.9999999, 0.9999999))
     fit = 1.0 + theta_i * (-0.876 + theta_i * (0.4265 - 0.0594 * theta_i))
     b0 = c0 - (1.0 + c0) * jnp.power(jnp.maximum(1.0 - sample_x, 1e-20), fit)
 

@@ -214,18 +214,88 @@ def _bvh_any(scene: Scene, ro, rd, t_min, t_max) -> Array:
 
 def scene_intersect(scene: Scene, ro: Array, rd: Array, t_min: Array,
                     t_max: Array) -> Hit:
-    """Closest geometry hit (Scene.h:74-77)."""
+    """Closest geometry hit (Scene.h:74-77).
+
+    The SEARCH (which primitive wins) runs detached from autodiff — BVH
+    traversal is a while-loop and hit selection is discrete anyway — and the
+    winning primitive is then re-intersected differentiably, so dt/dθ flows
+    through camera/geometry parameters (the standard detached-decision
+    estimator for differentiable ray tracing).
+    """
+    sg = jax.lax.stop_gradient
+    scene_d, ro_d, rd_d = sg(scene), sg(ro), sg(rd)
+    t_min_d, t_max_d = sg(t_min), sg(t_max)
     best = _miss()
     if scene.static.num_triangles > 0:
         if scene.static.has_bvh:
-            best = _closer(best, _bvh_closest(scene, ro, rd, t_min, t_max))
+            best = _closer(best, _bvh_closest(scene_d, ro_d, rd_d, t_min_d, t_max_d))
         else:
-            best = _closer(best, _brute_triangles(scene, ro, rd, t_min, t_max))
+            best = _closer(best, _brute_triangles(scene_d, ro_d, rd_d, t_min_d, t_max_d))
     if scene.static.num_spheres > 0:
-        best = _closer(best, _brute_spheres(scene, ro, rd, t_min, t_max))
+        best = _closer(best, _brute_spheres(scene_d, ro_d, rd_d, t_min_d, t_max_d))
     if scene.static.num_planes > 0:
-        best = _closer(best, _brute_planes(scene, ro, rd, t_min, t_max))
-    return best
+        best = _closer(best, _brute_planes(scene_d, ro_d, rd_d, t_min_d, t_max_d))
+    return _refine_hit(scene, best, ro, rd)
+
+
+def _refine_hit(scene: Scene, hit: Hit, ro: Array, rd: Array) -> Hit:
+    """Recompute t/beta/gamma of the winning primitive differentiably."""
+    idx = hit.idx
+    t = hit.t
+    beta, gamma = hit.beta, hit.gamma
+    big = jnp.asarray(3.4e38, jnp.float32)
+    if scene.static.num_triangles > 0:
+        is_tri = hit.kind == KIND_TRIANGLE
+        i = jnp.where(is_tri, idx, 0)
+        tri = scene.triangles
+        tt, bb, gg, _ = intersect_triangles(tri.v0[i][None], tri.v1[i][None],
+                                            tri.v2[i][None], ro, rd,
+                                            -big, big)
+        t = jnp.where(is_tri, tt[0], t)
+        beta = jnp.where(is_tri, bb[0], beta)
+        gamma = jnp.where(is_tri, gg[0], gamma)
+    if scene.static.num_spheres > 0:
+        is_sph = hit.kind == KIND_SPHERE
+        i = jnp.where(is_sph, idx, 0)
+        sph = scene.spheres
+        o = jnp.einsum("ij,j->i", sph.w2o_l[i], ro) + sph.w2o_t[i]
+        d = jnp.einsum("ij,j->i", sph.w2o_l[i], rd)
+        a = jnp.sum(d * d)
+        b = 2.0 * jnp.sum(d * o)
+        c = jnp.sum(o * o) - 1.0
+        disc = b * b - 4.0 * a * c
+        # sqrt(0) has an infinite jacobian; keep a benign value on lanes that
+        # didn't hit a sphere so 0-cotangents don't turn into NaNs
+        disc = jnp.where(is_sph, jnp.maximum(disc, 1e-12), 1.0)
+        sq = jnp.sqrt(disc)
+        t0 = (-b - sq) / (2.0 * a)
+        t1 = (-b + sq) / (2.0 * a)
+        # pick the root the detached search selected
+        pick0 = jnp.abs(jax.lax.stop_gradient(t0) - hit.t) <= \
+            jnp.abs(jax.lax.stop_gradient(t1) - hit.t)
+        t_sph = jnp.where(pick0, t0, t1)
+        t = jnp.where(is_sph, t_sph, t)
+    if scene.static.num_planes > 0:
+        is_pl = hit.kind == KIND_PLANE
+        i = jnp.where(is_pl, idx, 0)
+        one = PlaneArraysView(scene.planes, i)
+        tt, _ = intersect_planes(one, ro, rd, jnp.asarray(-big), big)
+        t = jnp.where(is_pl, tt[0], t)
+    return hit._replace(t=t, beta=beta, gamma=gamma)
+
+
+def SphereArraysView(sph, i):
+    from ..scene.types import SphereArrays
+    return SphereArrays(o2w_l=sph.o2w_l[i][None], o2w_t=sph.o2w_t[i][None],
+                        w2o_l=sph.w2o_l[i][None], w2o_t=sph.w2o_t[i][None],
+                        material_id=sph.material_id[i][None])
+
+
+def PlaneArraysView(pl, i):
+    from ..scene.types import PlaneArrays
+    return PlaneArrays(o2w_l=pl.o2w_l[i][None], o2w_t=pl.o2w_t[i][None],
+                       w2o_l=pl.w2o_l[i][None], w2o_t=pl.w2o_t[i][None],
+                       material_id=pl.material_id[i][None])
 
 
 def scene_intersect_geometry_p(scene: Scene, ro: Array, rd: Array, t_min: Array,
@@ -280,9 +350,15 @@ def scene_intersect_lights(scene: Scene, ro: Array, rd: Array, t_min: Array,
 
 def scene_intersect_p(scene: Scene, ro: Array, rd: Array, t_min: Array,
                       t_max: Array) -> Array:
-    """Occlusion: geometry OR lights (Scene.h:79-82)."""
+    """Occlusion: geometry OR lights (Scene.h:79-82).
+
+    Fully detached — visibility is a discrete decision; its (measure-zero)
+    boundary gradient is out of scope (BASELINE north star).
+    """
     from .lights import sphere_light_intersect_p
 
+    sg = jax.lax.stop_gradient
+    scene, ro, rd, t_min, t_max = sg(scene), sg(ro), sg(rd), sg(t_min), sg(t_max)
     found = scene_intersect_geometry_p(scene, ro, rd, t_min, t_max)
     for li in range(scene.static.num_sphere_lights):
         found = found | sphere_light_intersect_p(scene.sphere_lights, li,
@@ -291,20 +367,31 @@ def scene_intersect_p(scene: Scene, ro: Array, rd: Array, t_min: Array,
 
 
 def hit_shading(scene: Scene, hit: Hit, ro: Array, rd: Array) -> tuple[Array, Array, Array]:
-    """(point, shading normal, material_id) for a Hit; masked per kind."""
-    point = ro + hit.t * rd
-    n = jnp.zeros(3, jnp.float32)
+    """(point, shading normal, material_id) for a Hit; masked per kind.
+
+    NaN-safety for autodiff: missed lanes carry t=inf and no normal; naive
+    masking still produces inf/0-vector intermediates whose backward
+    jacobians are NaN even under ``where`` (0·NaN).  All inputs to nonlinear
+    ops are therefore clamped to benign values on missed lanes BEFORE the
+    math, and the defaults (t=1, n=+y) are only ever used masked.
+    """
+    t_safe = jnp.where(hit.valid & jnp.isfinite(hit.t), hit.t, 1.0)
+    point = ro + t_safe * rd
+    n = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
     mid = jnp.asarray(0, jnp.int32)
     if scene.static.num_triangles > 0:
         is_tri = hit.kind == KIND_TRIANGLE
         i = jnp.where(is_tri, hit.idx, 0)
-        n_tri = triangle_normal(scene.triangles, i, hit.beta, hit.gamma)
+        beta = jnp.where(is_tri, hit.beta, 0.3)
+        gamma = jnp.where(is_tri, hit.gamma, 0.3)
+        n_tri = triangle_normal(scene.triangles, i, beta, gamma)
         n = jnp.where(is_tri, n_tri, n)
         mid = jnp.where(is_tri, scene.triangles.material_id[i], mid)
     if scene.static.num_spheres > 0:
         is_sph = hit.kind == KIND_SPHERE
         i = jnp.where(is_sph, hit.idx, 0)
-        n_sph = sphere_normal(scene.spheres, i, ro, rd, hit.t)
+        n_sph = sphere_normal(scene.spheres, i, ro, rd,
+                              jnp.where(is_sph, t_safe, 1.0))
         n = jnp.where(is_sph, n_sph, n)
         mid = jnp.where(is_sph, scene.spheres.material_id[i], mid)
     if scene.static.num_planes > 0:

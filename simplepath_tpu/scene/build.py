@@ -127,31 +127,22 @@ def _build_env(light, base_dir: str) -> tuple[int, EnvLightArrays]:
     func = np.where(np.isinf(func), max_r, func)
     func = np.minimum(func, max_r).astype(np.float32)
 
-    # host-side CDF build (same math as core.distribution, float64 for safety)
-    steps = np.abs(func) / nu
-    ccdf = np.concatenate([np.zeros((nv, 1)), np.cumsum(steps, axis=-1)], axis=-1)
-    cint = ccdf[:, -1].copy()
-    uniform = np.arange(nu + 1) / nu
-    safe = np.where(cint == 0.0, 1.0, cint)
-    ccdf = np.where(cint[:, None] == 0.0, uniform[None, :], ccdf / safe[:, None])
+    # CDF build via core.distribution so the stored layout matches the
+    # sampler's expectations exactly (including the reference's left-shifted
+    # normalization quirk — see core/distribution.py)
+    from ..core.distribution import build_distribution_2d
 
-    marg_f = cint.astype(np.float32)
-    msteps = np.abs(marg_f) / nv
-    mcdf = np.concatenate([[0.0], np.cumsum(msteps)])
-    mint = mcdf[-1]
-    msafe = mint if mint != 0.0 else 1.0
-    mcdf = (np.arange(nv + 1) / nv) if mint == 0.0 else mcdf / msafe
-
+    dist = build_distribution_2d(jnp.asarray(func))
     env = EnvLightArrays(
         radiance=jnp.asarray(radiance),
         image=jnp.asarray(img),
         l2w=jnp.asarray(l2w), w2l=jnp.asarray(w2l),
-        cdf_cond_f=jnp.asarray(func),
-        cdf_cond=jnp.asarray(ccdf, jnp.float32),
-        cdf_cond_int=jnp.asarray(cint, jnp.float32),
-        cdf_marg_f=jnp.asarray(marg_f),
-        cdf_marg=jnp.asarray(mcdf, jnp.float32),
-        cdf_marg_int=jnp.asarray(mint, jnp.float32),
+        cdf_cond_f=dist.conditional_f,
+        cdf_cond=dist.conditional_cdf,
+        cdf_cond_int=dist.conditional_int,
+        cdf_marg_f=dist.marginal.function,
+        cdf_marg=dist.marginal.cdf,
+        cdf_marg_int=dist.marginal.integral,
     )
     return ENV_IBL, env
 

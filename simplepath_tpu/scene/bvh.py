@@ -116,12 +116,26 @@ def build_bvh4(tri_lo: np.ndarray, tri_hi: np.ndarray,
     return nodes, order
 
 
+NATIVE_MIN_TRIS = 20_000  # below this the numpy builder is fast enough
+
+
 def make_bvh_arrays(tri_lo: np.ndarray, tri_hi: np.ndarray) -> tuple[BVHArrays, np.ndarray]:
     """Build and wrap as BVHArrays; also returns prim_order so the caller can
-    reorder the triangle table itself (leaves then index contiguously)."""
+    reorder the triangle table itself (leaves then index contiguously).
+
+    Uses the native C++ builder for large meshes (lucy-class inputs take
+    minutes through the Python builder), numpy otherwise/as fallback."""
     import jax.numpy as jnp
 
-    nodes, order = build_bvh4(tri_lo, tri_hi)
+    nodes = None
+    if tri_lo.shape[0] >= NATIVE_MIN_TRIS:
+        from ..native import native_build_bvh4
+        result = native_build_bvh4(tri_lo.astype(np.float32),
+                                   tri_hi.astype(np.float32), LEAF_SIZE)
+        if result is not None:
+            nodes, order = result
+    if nodes is None:
+        nodes, order = build_bvh4(tri_lo, tri_hi)
     bvh = BVHArrays(
         child_lo=jnp.asarray(nodes["child_lo"]),
         child_hi=jnp.asarray(nodes["child_hi"]),

@@ -1,0 +1,39 @@
+version: 1
+
+scene_parameters {
+    output_file_name: "g_blob.pfm"
+    width: 48
+    height: 48
+    max_depth: 5
+    russian_roulette_depth: 3
+    integrator: iterative_rrnee
+}
+
+perspective_camera {
+    origin: 0.0 2.0 5.0
+    look_at: 0.0 1.0 0.0
+    fov: 45
+}
+
+material_lambertian {
+    name: "grey"
+    diffuse: 0.5 0.5 0.5
+}
+
+material_lambertian {
+    name: "red"
+    diffuse: 0.7 0.2 0.2
+}
+
+mesh {
+    file: "blob.ply"
+    material: "red"
+}
+
+plane {
+    material: "grey"
+}
+
+environment_light {
+    radiance: 0.6 0.7 0.8
+}
