@@ -78,6 +78,9 @@ def render_loss(scene: Scene, params: dict, target_flat, xs, ys, spp: int,
                 key, integrator: str | None = None):
     """MSE between a rendered pixel batch and a target."""
     scene = set_params(scene, params)
+    # force the fixed-trip (reverse-differentiable) bounce loops
+    scene = dataclasses.replace(
+        scene, static=dataclasses.replace(scene.static, differentiable=True))
     img = render_rays(scene, xs, ys, spp, key, integrator)
     return jnp.mean((img - target_flat) ** 2)
 

@@ -52,10 +52,11 @@ def get_lib():
         lib.bvh_build.restype = ctypes.c_int32
         lib.bvh_build.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int32, ctypes.c_int32]
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
         lib.bvh_copy_out.restype = None
-        lib.bvh_copy_out.argtypes = [ctypes.POINTER(ctypes.c_float)] * 2 + \
-            [ctypes.POINTER(ctypes.c_int32)] * 4
+        lib.bvh_copy_out.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                     ctypes.POINTER(ctypes.c_int32),
+                                     ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
     except OSError as e:  # pragma: no cover
         logger.info("native load failed (%s); using numpy fallback", e)
@@ -63,9 +64,9 @@ def get_lib():
     return _lib
 
 
-def native_build_bvh4(lo: np.ndarray, hi: np.ndarray,
-                      leaf_size: int = 4) -> tuple[dict, np.ndarray] | None:
-    """C++ 4-wide BVH build; returns (node dict, prim_order) or None."""
+def native_build_bvh_wide(lo: np.ndarray, hi: np.ndarray, leaf_size: int = 4,
+                          width: int = 8) -> tuple[dict, np.ndarray] | None:
+    """C++ wide-BVH build; returns (node dict, prim_order) or None."""
     lib = get_lib()
     if lib is None:
         return None
@@ -75,17 +76,10 @@ def native_build_bvh4(lo: np.ndarray, hi: np.ndarray,
     fp = ctypes.POINTER(ctypes.c_float)
     ip = ctypes.POINTER(ctypes.c_int32)
     num_nodes = lib.bvh_build(lo.ctypes.data_as(fp), hi.ctypes.data_as(fp),
-                              np.int32(n), np.int32(leaf_size))
-    child_lo = np.empty((num_nodes, 4, 3), np.float32)
-    child_hi = np.empty((num_nodes, 4, 3), np.float32)
-    child_node = np.empty((num_nodes, 4), np.int32)
-    child_first = np.empty((num_nodes, 4), np.int32)
-    child_count = np.empty((num_nodes, 4), np.int32)
+                              np.int32(n), np.int32(leaf_size), np.int32(width))
+    child_box = np.empty((num_nodes, width, 6), np.float32)
+    child_meta = np.empty((num_nodes, width, 3), np.int32)
     prim_order = np.empty(n, np.int32)
-    lib.bvh_copy_out(child_lo.ctypes.data_as(fp), child_hi.ctypes.data_as(fp),
-                     child_node.ctypes.data_as(ip), child_first.ctypes.data_as(ip),
-                     child_count.ctypes.data_as(ip), prim_order.ctypes.data_as(ip))
-    nodes = {"child_lo": child_lo, "child_hi": child_hi,
-             "child_node": child_node, "child_first": child_first,
-             "child_count": child_count}
-    return nodes, prim_order
+    lib.bvh_copy_out(child_box.ctypes.data_as(fp),
+                     child_meta.ctypes.data_as(ip), prim_order.ctypes.data_as(ip))
+    return {"child_box": child_box, "child_meta": child_meta}, prim_order

@@ -44,8 +44,7 @@ def render_rays(scene: Scene, xs: Array, ys: Array, spp: int, key: Array,
         ro, rd = generate_ray(scene.camera, px, py)
         keys = jax.vmap(lambda k: jax.random.fold_in(k, s))(pix_keys)
         pcoords = jnp.stack([px, py], axis=-1)
-        L = jax.vmap(fn, in_axes=(None, None, 0, 0, 0, 0))(
-            scene, rho, ro, rd, keys, pcoords)
+        L = fn(scene, rho, ro, rd, keys, pcoords)
         return film + L
 
     film = jax.lax.fori_loop(0, spp, one_sample, jnp.zeros((n, 3), jnp.float32))
@@ -99,8 +98,7 @@ def render_image_progressive(scene: Scene, spp: int, key: Array,
             ro, rd = generate_ray(scene.camera, px, py)
             keys = jax.vmap(lambda k: jax.random.fold_in(k, s))(pix_keys)
             pcoords = jnp.stack([px, py], axis=-1)
-            L = jax.vmap(fn, in_axes=(None, None, 0, 0, 0, 0))(
-                scene, rho, ro, rd, keys, pcoords)
+            L = fn(scene, rho, ro, rd, keys, pcoords)
             return film + L
         return jax.lax.fori_loop(s0, s0 + n,
                                  one_sample, jnp.zeros((xs.shape[0], 3), jnp.float32))

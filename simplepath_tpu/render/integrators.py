@@ -1,21 +1,27 @@
-"""Light-transport integrators as per-ray pure functions.
+"""Light-transport integrators over batched ray wavefronts.
 
 TPU-native port of ``/root/reference/Integrators/Integrator.{h,cpp}``: the
-recursive/early-exit per-ray loops become fixed-trip ``lax.scan``/unrolled
-loops with an ``alive`` mask; ``break`` becomes mask clearing.  Each
-integrator maps (scene, ro, rd, key) -> RGB and is vmapped over the ray batch
-by the render driver.
+recursive/early-exit per-ray loops become BATCH-level ``lax.while_loop``s
+with an ``alive`` mask — the loop exits as soon as every lane has
+terminated, instead of paying max_depth traversals for mostly-dead
+wavefronts.  Inner stages are per-ray pure functions vmapped across the
+batch.  Each integrator maps (scene, rho, ro[N,3], rd[N,3], keys[N],
+pcoords[N,2]) -> L[N,3].
 
-Faithfully reproduced reference quirks (verified against the C++):
+Faithfully reproduced reference quirks (verified against the C++ oracle):
 
 * The flagship NEE integrator adds UNWEIGHTED light radiance when the path
-  ray hits a light (Integrator.cpp:627-629) on top of the MIS NEE estimate —
-  sphere lights are intentionally double-counted exactly as the reference
-  does.
-* ``estimate_direct_mis``'s BSDF-strategy occlusion test runs with
-  t_max = ∞ and includes the lights themselves (Integrator.cpp:532-535 +
-  Scene.h:79-82), so that strategy contributes only for environment lights
-  with an unobstructed path.
+  ray hits a light (Integrator.cpp:627-629) on top of the MIS NEE estimate.
+* ``estimate_direct_mis`` RETURNS EARLY when the light-sample strategy is
+  invalid or occluded (Integrator.cpp:498-505), dropping the BSDF strategy
+  for that sample.
+* The BSDF-strategy occlusion test runs with t_max = ∞ and counts lights as
+  occluders (Integrator.cpp:532-535 + Scene.h:79-82).  Consequence — used
+  here as an EXACT optimization: a BSDF ray that hits a sphere light is
+  always self-blocked, so the strategy can only ever contribute ENVIRONMENT
+  radiance.  With no env light it is identically zero and is skipped
+  (saving two traversals per light per bounce); with an env light the
+  closest-light search collapses into the occlusion test already being done.
 * ``BruteForceIntegrator`` (recursive flavor) uses signed cosine and a fresh
   t_min = ε each bounce (Integrator.cpp:116-149).
 * Whitted's specular recursion does not attenuate by the specular sample
@@ -38,8 +44,9 @@ from ..core.smath import balance_heuristic_counts
 from ..core.vec import dot
 from ..scene.types import ENV_NONE, Scene
 from .intersect import INF_DISTANCE, RAY_EPSILON
-from .lights import (env_light_pdf, env_light_sample, get_ray_offset,
-                     get_ray_offset_nd, sphere_light_pdf, sphere_light_sample)
+from .lights import (env_light_pdf, env_light_radiance, env_light_sample,
+                     get_ray_offset, get_ray_offset_nd, sphere_light_pdf,
+                     sphere_light_sample)
 from .materials import (HitMaterial, gather_material, material_eval,
                         material_pdf, material_sample)
 from .traverse import (hit_shading, scene_intersect, scene_intersect_lights,
@@ -60,23 +67,13 @@ def _light_sites(light_index: int) -> tuple[int, int, int, int]:
     return b, b + 1, b + 2, b + 3
 
 
-def _sample_material_at(scene: Scene, rho_tables, mid, wo_local, key, s_layer,
-                        s_lobe, s_2d):
-    m = gather_material(scene.materials, rho_tables, mid)
-    u_layer = uniform_1d(key, s_layer)
-    u_lobe = uniform_1d(key, s_lobe)
-    u2 = uniform_2d(key, s_2d)
-    return m, material_sample(m, wo_local, u_layer, u_lobe, u2)
-
-
 def _num_lights(scene: Scene) -> int:
     return scene.static.num_sphere_lights + (1 if scene.static.env_kind != ENV_NONE else 0)
 
 
 def _light_sample(scene: Scene, light_index: int, p, n, u):
     """Unified light.sample over the static light list: sphere lights first,
-    then the environment light (parse order quirk notwithstanding — order
-    only matters for RNG pairing, not the estimate)."""
+    then the environment light."""
     ns = scene.static.num_sphere_lights
     if light_index < ns:
         return sphere_light_sample(scene.sphere_lights, light_index, p, n, u)
@@ -94,7 +91,7 @@ def _light_pdf(scene: Scene, light_index: int, p, wi):
 
 def _estimate_direct_mis(scene: Scene, rho_tables, light_index: int, p, n,
                          wo_world, onb, m: HitMaterial, key) -> Array:
-    """estimate_direct_mis (Integrator.cpp:486-539) for one light."""
+    """estimate_direct_mis (Integrator.cpp:486-539) for one light; per-ray."""
     s_u, s_layer, s_lobe, s_2d = _light_sites(light_index)
     ls = _light_sample(scene, light_index, p, n, uniform_2d(key, s_u))
     ls_ok = (ls.pdf > 0.0) & jnp.any(ls.L != 0.0)
@@ -110,13 +107,13 @@ def _estimate_direct_mis(scene: Scene, rho_tables, light_index: int, p, n,
     strat1 = jnp.where(ls_ok & ~occluded & jnp.any(f != 0.0) & (bsdf_pdf > 0.0),
                        strat1, 0.0)
 
-    # BSDF-sampling strategy (Integrator.cpp:517-536).
-    # Reference quirk, reproduced: estimate_direct_mis RETURNS EARLY when the
-    # light-sample strategy is invalid or its shadow ray occluded
-    # (Integrator.cpp:498-505) — so this strategy only contributes when the
-    # light-sampled ray was valid AND unoccluded.  (Dropping a strategy
-    # conditioned on the other's visibility is statistically "wrong" MIS, but
-    # it is what the reference renders.)
+    # BSDF-sampling strategy (Integrator.cpp:517-536).  Reference semantics:
+    # runs only when the light strategy was valid AND unoccluded (early
+    # returns at :498-505); its occlusion test counts lights as blockers, so
+    # it can only ever deliver environment radiance (see module docstring).
+    if scene.static.env_kind == ENV_NONE:
+        return strat1
+
     strat2_enabled = ls_ok & ~occluded
     u_layer = uniform_1d(key, s_layer)
     u_lobe = uniform_1d(key, s_lobe)
@@ -127,21 +124,19 @@ def _estimate_direct_mis(scene: Scene, rho_tables, light_index: int, p, n,
     light_pdf2 = _light_pdf(scene, light_index, p, wi2)
     w2 = balance_heuristic_counts(1, ms.pdf, 1, light_pdf2)
     mat_t_min = get_ray_offset_nd(n, wi2)
-    lhit, _, lL = scene_intersect_lights(scene, p, wi2, mat_t_min,
-                                         jnp.asarray(INF_DISTANCE, jnp.float32))
     blocked = scene_intersect_p(scene, p, wi2, mat_t_min,
                                 jnp.asarray(INF_DISTANCE, jnp.float32))
-    strat2 = (ms.color * lL * (jnp.abs(dot(wi2, n)) * w2
-                               / jnp.where(ms.pdf > 0, ms.pdf, 1.0)))
-    strat2 = jnp.where(strat2_enabled & ms_ok & (light_pdf2 > 0.0) & lhit & ~blocked,
+    env_L = env_light_radiance(scene.env, scene.static.env_kind, wi2)
+    strat2 = (ms.color * env_L * (jnp.abs(dot(wi2, n)) * w2
+                                  / jnp.where(ms.pdf > 0, ms.pdf, 1.0)))
+    strat2 = jnp.where(strat2_enabled & ms_ok & (light_pdf2 > 0.0) & ~blocked,
                        strat2, 0.0)
     return strat1 + strat2
 
 
 def _estimate_direct(scene: Scene, rho_tables, light_index: int, p, n,
                      wo_world, onb, m: HitMaterial, key) -> Array:
-    """estimate_direct without MIS (Integrator.cpp:462-484) — the
-    direct-lighting integrator's inner term."""
+    """estimate_direct without MIS (Integrator.cpp:462-484); per-ray."""
     s_u, _, _, _ = _light_sites(light_index)
     ls = _light_sample(scene, light_index, p, n, uniform_2d(key, s_u))
     ls_ok = (ls.pdf > 0.0) & jnp.any(ls.L != 0.0)
@@ -153,70 +148,125 @@ def _estimate_direct(scene: Scene, rho_tables, light_index: int, p, n,
     return jnp.where(ls_ok & jnp.any(f != 0.0) & ~occluded, contrib, 0.0)
 
 
+# ------------------------------------------------------- batched helpers
+
+def _v(fn, *args):
+    """vmap a per-ray function across the batch (scene closed over)."""
+    return jax.vmap(fn)(*args)
+
+
+def _intersect_batch(scene, ro, rd, t_min, t_max):
+    return jax.vmap(lambda o, d, a, b: scene_intersect(scene, o, d, a, b))(
+        ro, rd, t_min, t_max)
+
+
+def _lights_batch(scene, ro, rd, t_min, t_max):
+    return jax.vmap(lambda o, d, a, b: scene_intersect_lights(scene, o, d, a, b))(
+        ro, rd, t_min, t_max)
+
+
+def _shading_batch(scene, hit, ro, rd):
+    return jax.vmap(lambda h, o, d: hit_shading(scene, h, o, d))(hit, ro, rd)
+
+
+def _sample_batch(scene, rho, mid, wo_local, keys):
+    def one(mid, wo_l, k):
+        m = gather_material(scene.materials, rho, mid)
+        return m, material_sample(m, wo_l, uniform_1d(k, SITE_MAT_LAYER),
+                                  uniform_1d(k, SITE_MAT_LOBE),
+                                  uniform_2d(k, SITE_MAT_2D))
+    return jax.vmap(one)(mid, wo_local, keys)
+
+
+
+
+def _bounce_loop(scene, cond_free_state, step, max_depth):
+    """Drive a bounce body either as an early-exit batch while_loop
+    (inference) or a fixed-trip fori_loop (reverse-mode differentiable),
+    selected by scene.static.differentiable.  ``step(depth, state) -> state``
+    where state's last element is the alive mask."""
+    if scene.static.differentiable:
+        return jax.lax.fori_loop(0, max_depth, step, cond_free_state)
+
+    def cond(s):
+        depth, rest = s
+        return (depth < max_depth) & jnp.any(rest[-1])
+
+    def body(s):
+        depth, rest = s
+        return depth + 1, step(depth, rest)
+
+    _, rest = jax.lax.while_loop(cond, body, (jnp.asarray(0), cond_free_state))
+    return rest
+
+
 # ------------------------------------------------------------- integrators
 
-def integrate_direct_lighting(scene: Scene, rho_tables, ro, rd, key,
-                              pixel_coords=None) -> Array:
-    """DirectLightingIntegrator (Integrator.cpp:277-312)."""
-    t_min = jnp.asarray(RAY_EPSILON, jnp.float32)
-    t_max0 = jnp.asarray(INF_DISTANCE, jnp.float32)
-    lhit, ldist, lL = scene_intersect_lights(scene, ro, rd, t_min, t_max0)
+def integrate_direct_lighting(scene: Scene, rho_tables, ro, rd, keys,
+                              pcoords=None) -> Array:
+    """DirectLightingIntegrator (Integrator.cpp:277-312), batched."""
+    n_rays = ro.shape[0]
+    t_min = jnp.full(n_rays, RAY_EPSILON, jnp.float32)
+    t_max0 = jnp.full(n_rays, INF_DISTANCE, jnp.float32)
+    lhit, ldist, lL = _lights_batch(scene, ro, rd, t_min, t_max0)
     t_max = jnp.where(lhit, ldist, t_max0)
-    hit = scene_intersect(scene, ro, rd, t_min, t_max)
+    hit = _intersect_batch(scene, ro, rd, t_min, t_max)
 
-    L = jnp.zeros(3, jnp.float32)
-    p, n, mid = hit_shading(scene, hit, ro, rd)
-    onb = onb_from_v(n)
+    p, nrm, mid = _shading_batch(scene, hit, ro, rd)
+    onb = jax.vmap(onb_from_v)(nrm)
     wo = -rd
-    m = gather_material(scene.materials, rho_tables, mid)
+    m = jax.vmap(lambda i: gather_material(scene.materials, rho_tables, i))(mid)
+
+    L = jnp.zeros((n_rays, 3), jnp.float32)
     for li in range(_num_lights(scene)):
-        L = L + jnp.where(hit.valid,
-                          _estimate_direct(scene, rho_tables, li, p, n, wo, onb, m, key),
-                          0.0)
-    L = jnp.where(~hit.valid & lhit, lL, L)
+        contrib = jax.vmap(lambda p_, n_, wo_, onb_, m_, k_:
+                           _estimate_direct(scene, rho_tables, li, p_, n_, wo_,
+                                            onb_, m_, k_))(p, nrm, wo, onb, m, keys)
+        L = L + jnp.where(hit.valid[:, None], contrib, 0.0)
+    L = jnp.where((~hit.valid & lhit)[:, None], lL, L)
     return L
 
 
-def integrate_rrnee(scene: Scene, rho_tables, ro, rd, key, pixel_coords=None) -> Array:
+def integrate_rrnee(scene: Scene, rho_tables, ro, rd, keys, pcoords=None) -> Array:
     """IntegratorIterativeRRNEE — the flagship (Integrator.cpp:550-635).
 
-    Fixed max_depth trip count with an alive mask; every bounce:
-    light-clamp → geometry intersect → material sample → NEE(MIS) over all
-    lights → throughput update → RR → ray advance; termination adds
-    unweighted light radiance.
+    Batch-level while_loop: exits as soon as every lane terminated.
     """
+    n_rays = ro.shape[0]
     max_depth = scene.static.max_depth
     rr_depth = scene.static.russian_roulette_depth
     rr_cutoff = 0.1
 
-    def body(depth, state):
+    def step(depth, state):
         ro, rd, t_min, throughput, L, alive = state
-        dkey = jax.random.fold_in(key, depth)
+        dkeys = jax.vmap(lambda k: jax.random.fold_in(k, depth))(keys)
 
-        lhit, ldist, lL = scene_intersect_lights(scene, ro, rd, t_min,
-                                                 jnp.asarray(INF_DISTANCE, jnp.float32))
+        lhit, ldist, lL = _lights_batch(scene, ro, rd, t_min,
+                                        jnp.full(n_rays, INF_DISTANCE, jnp.float32))
         t_max = jnp.where(lhit, ldist, INF_DISTANCE)
-        hit = scene_intersect(scene, ro, rd, t_min, t_max)
+        hit = _intersect_batch(scene, ro, rd, t_min, t_max)
 
-        p, n, mid = hit_shading(scene, hit, ro, rd)
-        onb = onb_from_v(n)
+        p, nrm, mid = _shading_batch(scene, hit, ro, rd)
+        onb = jax.vmap(onb_from_v)(nrm)
         wo = -rd
-        wo_local = onb_to_local(onb, wo)
-        m, ms = _sample_material_at(scene, rho_tables, mid, wo_local, dkey,
-                                    SITE_MAT_LAYER, SITE_MAT_LOBE, SITE_MAT_2D)
-        ms_ok = (ms.pdf > 0.0) & jnp.any(ms.color != 0.0)
+        wo_local = jax.vmap(onb_to_local)(onb, wo)
+        m, ms = _sample_batch(scene, rho_tables, mid, wo_local, dkeys)
+        ms_ok = (ms.pdf > 0.0) & jnp.any(ms.color != 0.0, axis=-1)
 
         # NEE over all lights (Integrator.cpp:589-600)
-        nee = jnp.zeros(3, jnp.float32)
+        nee = jnp.zeros((n_rays, 3), jnp.float32)
         for li in range(_num_lights(scene)):
-            nee = nee + _estimate_direct_mis(scene, rho_tables, li, p, n, wo,
-                                             onb, m, dkey)
-        L = L + jnp.where(alive & hit.valid & ms_ok, throughput * nee, 0.0)
+            nee = nee + jax.vmap(lambda p_, n_, wo_, onb_, m_, k_:
+                                 _estimate_direct_mis(scene, rho_tables, li, p_,
+                                                      n_, wo_, onb_, m_, k_))(
+                p, nrm, wo, onb, m, dkeys)
+        L = L + jnp.where((alive & hit.valid & ms_ok)[:, None],
+                          throughput * nee, 0.0)
 
         # throughput update (Integrator.cpp:603-607)
-        wi = onb_to_world(onb, ms.wi)
-        cosine = jnp.abs(dot(wi, n))
-        contrib = cosine * ms.color / jnp.where(ms.pdf > 0, ms.pdf, 1.0)
+        wi = jax.vmap(onb_to_world)(onb, ms.wi)
+        cosine = jnp.abs(jnp.sum(wi * nrm, axis=-1))
+        contrib = cosine[:, None] * ms.color / jnp.where(ms.pdf > 0, ms.pdf, 1.0)[:, None]
         new_throughput = throughput * contrib
 
         # Russian roulette (Integrator.cpp:609-621)
@@ -224,60 +274,58 @@ def integrate_rrnee(scene: Scene, rho_tables, ro, rd, key, pixel_coords=None) ->
         lum = relative_luminance(new_throughput)
         rr_active = do_rr & (lum < rr_cutoff)
         q = jnp.maximum(0.05, lum / rr_cutoff)
-        u_rr = uniform_1d(dkey, SITE_RR)
+        u_rr = jax.vmap(lambda k: uniform_1d(k, SITE_RR))(dkeys)
         rr_continue = u_rr < q
-        new_throughput = jnp.where(rr_active & rr_continue,
-                                   new_throughput / q, new_throughput)
+        new_throughput = jnp.where((rr_active & rr_continue)[:, None],
+                                   new_throughput / q[:, None], new_throughput)
 
-        # termination bookkeeping
         escaped = alive & ~hit.valid
-        L = L + jnp.where(escaped & lhit, throughput * lL, 0.0)
+        L = L + jnp.where((escaped & lhit)[:, None], throughput * lL, 0.0)
         continues = alive & hit.valid & ms_ok & ~(rr_active & ~rr_continue)
 
-        new_ro = p  # NaN-safe hit point from hit_shading (t clamped on miss)
         new_t_min = get_ray_offset(cosine)
-        ro_out = jnp.where(continues, new_ro, ro)
-        rd_out = jnp.where(continues, wi, rd)
+        ro_out = jnp.where(continues[:, None], p, ro)
+        rd_out = jnp.where(continues[:, None], wi, rd)
         t_min_out = jnp.where(continues, new_t_min, t_min)
-        thr_out = jnp.where(continues, new_throughput, throughput)
+        thr_out = jnp.where(continues[:, None], new_throughput, throughput)
         return ro_out, rd_out, t_min_out, thr_out, L, continues
 
-    state0 = (ro, rd, jnp.asarray(RAY_EPSILON, jnp.float32),
-              jnp.ones(3, jnp.float32), jnp.zeros(3, jnp.float32),
-              jnp.asarray(True))
-    state = jax.lax.fori_loop(0, max_depth, body, state0)
+    state0 = (ro, rd, jnp.full(n_rays, RAY_EPSILON, jnp.float32),
+              jnp.ones((n_rays, 3), jnp.float32), jnp.zeros((n_rays, 3), jnp.float32),
+              jnp.ones(n_rays, bool))
+    state = _bounce_loop(scene, state0, step, max_depth)
     return state[4]
 
 
-def _integrate_bruteforce_common(scene: Scene, rho_tables, ro, rd, key,
+def _integrate_bruteforce_common(scene: Scene, rho_tables, ro, rd, keys,
                                  *, abs_cosine: bool, offset_tmin: bool,
                                  use_rr: bool) -> Array:
-    """Shared body for the three brute-force integrators
+    """Shared batched body for the three brute-force integrators
     (Integrator.cpp:116-266)."""
+    n_rays = ro.shape[0]
     max_depth = scene.static.max_depth
     rr_depth = scene.static.russian_roulette_depth
     rr_cutoff = 0.1
 
-    def body(depth, state):
+    def step(depth, state):
         ro, rd, t_min, throughput, L, alive = state
-        dkey = jax.random.fold_in(key, depth)
+        dkeys = jax.vmap(lambda k: jax.random.fold_in(k, depth))(keys)
 
-        lhit, ldist, lL = scene_intersect_lights(scene, ro, rd, t_min,
-                                                 jnp.asarray(INF_DISTANCE, jnp.float32))
+        lhit, ldist, lL = _lights_batch(scene, ro, rd, t_min,
+                                        jnp.full(n_rays, INF_DISTANCE, jnp.float32))
         t_max = jnp.where(lhit, ldist, INF_DISTANCE)
-        hit = scene_intersect(scene, ro, rd, t_min, t_max)
+        hit = _intersect_batch(scene, ro, rd, t_min, t_max)
 
-        p, n, mid = hit_shading(scene, hit, ro, rd)
-        onb = onb_from_v(n)
-        wo_local = onb_to_local(onb, -rd)
-        m, ms = _sample_material_at(scene, rho_tables, mid, wo_local, dkey,
-                                    SITE_MAT_LAYER, SITE_MAT_LOBE, SITE_MAT_2D)
-        ms_ok = (ms.pdf > 0.0) & jnp.any(ms.color != 0.0)
+        p, nrm, mid = _shading_batch(scene, hit, ro, rd)
+        onb = jax.vmap(onb_from_v)(nrm)
+        wo_local = jax.vmap(onb_to_local)(onb, -rd)
+        m, ms = _sample_batch(scene, rho_tables, mid, wo_local, dkeys)
+        ms_ok = (ms.pdf > 0.0) & jnp.any(ms.color != 0.0, axis=-1)
 
-        wi = onb_to_world(onb, ms.wi)
-        cosine_signed = dot(wi, n)
+        wi = jax.vmap(onb_to_world)(onb, ms.wi)
+        cosine_signed = jnp.sum(wi * nrm, axis=-1)
         cosine = jnp.abs(cosine_signed) if abs_cosine else cosine_signed
-        contrib = cosine * ms.color / jnp.where(ms.pdf > 0, ms.pdf, 1.0)
+        contrib = cosine[:, None] * ms.color / jnp.where(ms.pdf > 0, ms.pdf, 1.0)[:, None]
         new_throughput = throughput * contrib
 
         continues = alive & hit.valid & ms_ok
@@ -286,100 +334,101 @@ def _integrate_bruteforce_common(scene: Scene, rho_tables, ro, rd, key,
             lum = relative_luminance(new_throughput)
             rr_active = do_rr & (lum < rr_cutoff)
             q = jnp.maximum(0.05, lum / rr_cutoff)
-            rr_continue = uniform_1d(dkey, SITE_RR) < q
-            new_throughput = jnp.where(rr_active & rr_continue,
-                                       new_throughput / q, new_throughput)
+            rr_continue = jax.vmap(lambda k: uniform_1d(k, SITE_RR))(dkeys) < q
+            new_throughput = jnp.where((rr_active & rr_continue)[:, None],
+                                       new_throughput / q[:, None], new_throughput)
             continues = continues & ~(rr_active & ~rr_continue)
 
         escaped = alive & ~hit.valid
-        L = L + jnp.where(escaped & lhit, throughput * lL, 0.0)
+        L = L + jnp.where((escaped & lhit)[:, None], throughput * lL, 0.0)
 
         new_t_min = get_ray_offset(jnp.abs(cosine_signed)) if offset_tmin \
-            else jnp.asarray(RAY_EPSILON, jnp.float32)
-        ro_out = jnp.where(continues, p, ro)
-        rd_out = jnp.where(continues, wi, rd)
+            else jnp.full(n_rays, RAY_EPSILON, jnp.float32)
+        ro_out = jnp.where(continues[:, None], p, ro)
+        rd_out = jnp.where(continues[:, None], wi, rd)
         t_min_out = jnp.where(continues, new_t_min, t_min)
-        thr_out = jnp.where(continues, new_throughput, throughput)
+        thr_out = jnp.where(continues[:, None], new_throughput, throughput)
         return ro_out, rd_out, t_min_out, thr_out, L, continues
 
-    state0 = (ro, rd, jnp.asarray(RAY_EPSILON, jnp.float32),
-              jnp.ones(3, jnp.float32), jnp.zeros(3, jnp.float32),
-              jnp.asarray(True))
-    state = jax.lax.fori_loop(0, max_depth, body, state0)
+    state0 = (ro, rd, jnp.full(n_rays, RAY_EPSILON, jnp.float32),
+              jnp.ones((n_rays, 3), jnp.float32), jnp.zeros((n_rays, 3), jnp.float32),
+              jnp.ones(n_rays, bool))
+    state = _bounce_loop(scene, state0, step, max_depth)
     return state[4]
 
 
-def integrate_brute_force(scene, rho_tables, ro, rd, key, pixel_coords=None):
+def integrate_brute_force(scene, rho_tables, ro, rd, keys, pcoords=None):
     """Recursive BruteForceIntegrator semantics (signed cosine, fresh ε
     t_min; Integrator.cpp:116-149)."""
-    return _integrate_bruteforce_common(scene, rho_tables, ro, rd, key,
+    return _integrate_bruteforce_common(scene, rho_tables, ro, rd, keys,
                                         abs_cosine=False, offset_tmin=False,
                                         use_rr=False)
 
 
-def integrate_brute_force_iterative(scene, rho_tables, ro, rd, key, pixel_coords=None):
+def integrate_brute_force_iterative(scene, rho_tables, ro, rd, keys, pcoords=None):
     """BruteForceIntegratorIterative (Integrator.cpp:160-200)."""
-    return _integrate_bruteforce_common(scene, rho_tables, ro, rd, key,
+    return _integrate_bruteforce_common(scene, rho_tables, ro, rd, keys,
                                         abs_cosine=True, offset_tmin=True,
                                         use_rr=False)
 
 
-def integrate_brute_force_iterative_rr(scene, rho_tables, ro, rd, key, pixel_coords=None):
+def integrate_brute_force_iterative_rr(scene, rho_tables, ro, rd, keys, pcoords=None):
     """BruteForceIntegratorIterativeRR (Integrator.cpp:211-266)."""
-    return _integrate_bruteforce_common(scene, rho_tables, ro, rd, key,
+    return _integrate_bruteforce_common(scene, rho_tables, ro, rd, keys,
                                         abs_cosine=True, offset_tmin=True,
                                         use_rr=True)
 
 
-def integrate_whitted(scene: Scene, rho_tables, ro, rd, key, pixel_coords=None) -> Array:
+def integrate_whitted(scene: Scene, rho_tables, ro, rd, keys, pcoords=None) -> Array:
     """WhittedIntegrator (Integrator.cpp:323-368): direct lighting plus an
-    unattenuated specular chain (reference quirk)."""
+    unattenuated specular chain (reference quirk); batched."""
     from .materials import PROP_SPECULAR
 
+    n_rays = ro.shape[0]
     max_depth = scene.static.max_depth
 
-    def body(depth, state):
+    def step(depth, state):
         ro, rd, L, alive = state
-        dkey = jax.random.fold_in(key, depth)
-        t_min = jnp.asarray(RAY_EPSILON, jnp.float32)
-        lhit, ldist, lL = scene_intersect_lights(scene, ro, rd, t_min,
-                                                 jnp.asarray(INF_DISTANCE, jnp.float32))
+        dkeys = jax.vmap(lambda k: jax.random.fold_in(k, depth))(keys)
+        t_min = jnp.full(n_rays, RAY_EPSILON, jnp.float32)
+        lhit, ldist, lL = _lights_batch(scene, ro, rd, t_min,
+                                        jnp.full(n_rays, INF_DISTANCE, jnp.float32))
         t_max = jnp.where(lhit, ldist, INF_DISTANCE)
-        hit = scene_intersect(scene, ro, rd, t_min, t_max)
+        hit = _intersect_batch(scene, ro, rd, t_min, t_max)
 
-        p, n, mid = hit_shading(scene, hit, ro, rd)
-        onb = onb_from_v(n)
+        p, nrm, mid = _shading_batch(scene, hit, ro, rd)
+        onb = jax.vmap(onb_from_v)(nrm)
         wo = -rd
-        m = gather_material(scene.materials, rho_tables, mid)
-        direct = jnp.zeros(3, jnp.float32)
+        m = jax.vmap(lambda i: gather_material(scene.materials, rho_tables, i))(mid)
+        direct = jnp.zeros((n_rays, 3), jnp.float32)
         for li in range(_num_lights(scene)):
-            direct = direct + _estimate_direct(scene, rho_tables, li, p, n, wo,
-                                               onb, m, dkey)
-        L = L + jnp.where(alive & hit.valid, direct, 0.0)
-        L = L + jnp.where(alive & ~hit.valid & lhit, lL, 0.0)
+            direct = direct + jax.vmap(lambda p_, n_, wo_, onb_, m_, k_:
+                                       _estimate_direct(scene, rho_tables, li,
+                                                        p_, n_, wo_, onb_, m_, k_))(
+                p, nrm, wo, onb, m, dkeys)
+        L = L + jnp.where((alive & hit.valid)[:, None], direct, 0.0)
+        L = L + jnp.where((alive & ~hit.valid & lhit)[:, None], lL, 0.0)
 
-        wo_local = onb_to_local(onb, wo)
-        _, ms = _sample_material_at(scene, rho_tables, mid, wo_local, dkey,
-                                    SITE_MAT_LAYER, SITE_MAT_LOBE, SITE_MAT_2D)
+        wo_local = jax.vmap(onb_to_local)(onb, wo)
+        _, ms = _sample_batch(scene, rho_tables, mid, wo_local, dkeys)
         is_spec = (ms.properties & PROP_SPECULAR) != 0
         continues = alive & hit.valid & is_spec
-        wi = onb_to_world(onb, ms.wi)
-        # reference starts the specular ray at the hit POINT with default
-        # limits (Integrator.cpp:360) — no offset quirk kept via fresh ε t_min
-        ro_out = jnp.where(continues, p, ro)
-        rd_out = jnp.where(continues, wi, rd)
+        wi = jax.vmap(onb_to_world)(onb, ms.wi)
+        ro_out = jnp.where(continues[:, None], p, ro)
+        rd_out = jnp.where(continues[:, None], wi, rd)
         return ro_out, rd_out, L, continues
 
-    state0 = (ro, rd, jnp.zeros(3, jnp.float32), jnp.asarray(True))
-    state = jax.lax.fori_loop(0, max_depth, body, state0)
+    state0 = (ro, rd, jnp.zeros((n_rays, 3), jnp.float32),
+              jnp.ones(n_rays, bool))
+    state = _bounce_loop(scene, state0, step, max_depth)
     return state[2]
 
 
-def integrate_mandelbrot(scene: Scene, rho_tables, ro, rd, key, pixel_coords=None) -> Array:
+def integrate_mandelbrot(scene: Scene, rho_tables, ro, rd, keys, pcoords=None) -> Array:
     """MandelbrotIntegrator (Integrator.cpp:59-105) — tile/film smoke test."""
     max_iter = 4096  # s_max_iterations (Integrator.h:69)
     width, height = scene.static.width, scene.static.height
-    px, py = pixel_coords[0], pixel_coords[1]
+    px, py = pcoords[:, 0], pcoords[:, 1]
     x0, x1, y0, y1 = -2.0, 1.0, -1.0, 1.0
     x = x0 + px * (x1 - x0) / width
     y = y0 + py * (y1 - y0) / height
@@ -395,13 +444,14 @@ def integrate_mandelbrot(scene: Scene, rho_tables, ro, rd, key, pixel_coords=Non
         count = count + active.astype(jnp.int32)
         return zr, zi, count, active
 
-    zr0 = jnp.asarray(x, jnp.float32)
-    zi0 = jnp.asarray(y, jnp.float32)
+    zr0 = x.astype(jnp.float32)
+    zi0 = y.astype(jnp.float32)
     _, _, count, _ = jax.lax.fori_loop(
-        0, max_iter, body, (zr0, zi0, jnp.asarray(0, jnp.int32), jnp.asarray(True)))
+        0, max_iter, body,
+        (zr0, zi0, jnp.zeros_like(zr0, jnp.int32), jnp.ones_like(zr0, bool)))
     value = count.astype(jnp.float32) / max_iter
     hue = jnp.mod(jnp.power(value * 360.0, 1.5), 360.0) / 360.0
-    return hsv_to_rgb(hue, jnp.asarray(1.0, jnp.float32), value)
+    return hsv_to_rgb(hue, jnp.ones_like(value), value)
 
 
 INTEGRATOR_FNS = {

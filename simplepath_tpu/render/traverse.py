@@ -31,7 +31,7 @@ KIND_TRIANGLE = 0
 KIND_SPHERE = 1
 KIND_PLANE = 2
 
-STACK_DEPTH = 64
+STACK_DEPTH = 96
 
 
 class Hit(NamedTuple):
@@ -100,23 +100,60 @@ def _brute_planes(scene: Scene, ro, rd, t_min, t_max) -> Hit:
 
 # ---------------------------------------------------------- BVH traversal
 
-def _slab_test(lo: Array, hi: Array, ro: Array, inv_d: Array,
-               t_min: Array, t_max: Array) -> Array:
-    """Ray-vs-4-boxes slab test (math/BBox.h:122-146), vectorized over the
-    child axis.  lo/hi: [4,3]."""
-    t0 = (lo - ro) * inv_d          # [4,3]
-    t1 = (hi - ro) * inv_d
+def _slab_test(box: Array, ro: Array, inv_d: Array,
+               t_min: Array, t_max: Array) -> tuple[Array, Array]:
+    """Ray-vs-W-boxes slab test (math/BBox.h:122-146), vectorized over the
+    child axis.  box: [W,6] (lo,hi) → (hit [W], tnear [W])."""
+    t0 = (box[:, :3] - ro) * inv_d          # [W,3]
+    t1 = (box[:, 3:] - ro) * inv_d
     tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
     tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    return (jnp.maximum(tnear, t_min) <= jnp.minimum(tfar, t_max)) & (tfar >= t_min)
+    hit = (jnp.maximum(tnear, t_min) <= jnp.minimum(tfar, t_max)) & (tfar >= t_min)
+    return hit, tnear
+
+
+def _visit_node(bvh, node, ro, inv_d, t_min, cur_t_max):
+    """Shared node visit: gather, slab test, compact hit internal children
+    (nearest LAST so the nearest pops first) and report leaf window.
+
+    Returns (packed_children [W], n_push, leaf_mask [W], cfirst, ccount)."""
+    box = bvh.child_box[node]        # [W,6]
+    meta = bvh.child_meta[node]      # [W,3]
+    cnode, cfirst, ccount = meta[:, 0], meta[:, 1], meta[:, 2]
+    box_hit, tnear = _slab_test(box, ro, inv_d, t_min, cur_t_max)
+
+    is_internal = (cnode >= 0) & box_hit
+    # pack pushed children to the front in FAR-to-NEAR order: the stack is
+    # LIFO so the nearest child (packed last) pops first, shrinking t_max
+    # early.  Descending sort on where(pushed, tnear, -inf) puts non-pushed
+    # slots at the tail.
+    order = jnp.argsort(jnp.where(is_internal, tnear, -jnp.inf))[::-1]
+    packed = cnode[order]
+    n_push = jnp.sum(is_internal.astype(jnp.int32))
+    leaf_mask = (ccount > 0) & box_hit
+    return packed, n_push, leaf_mask, cfirst, ccount
+
+
+def _leaf_prims(leaf_mask, cfirst, ccount, leaf_cap: int):
+    """Flatten the node's leaf ranges into a [W*leaf_cap] padded index list."""
+    lane = jnp.arange(leaf_cap, dtype=jnp.int32)
+    pj = (cfirst[:, None] + lane[None, :]).reshape(-1)
+    mask = (leaf_mask[:, None] & (lane[None, :] < ccount[:, None])).reshape(-1)
+    return jnp.where(mask, pj, 0), mask
 
 
 def _bvh_closest(scene: Scene, ro, rd, t_min, t_max) -> Hit:
-    """Stack-based closest-hit over the 4-wide BVH (triangles only)."""
+    """Stack-based closest-hit over the wide BVH (triangles only).
+
+    Children are visited nearest-first (t_max shrinks quickly → fewer node
+    visits); pushes go through one dynamic_update_slice instead of W
+    scatters.
+    """
     bvh = scene.bvh
     tri = scene.triangles
     inv_d = 1.0 / rd  # IEEE inf for zero components is fine for slabs
     leaf_cap = 4      # builder caps leaves at LEAF_SIZE
+    W = bvh.child_meta.shape[1]
 
     def cond(state):
         sp = state[1]
@@ -127,21 +164,11 @@ def _bvh_closest(scene: Scene, ro, rd, t_min, t_max) -> Hit:
         node = stack[sp - 1]
         sp = sp - 1
 
-        lo = bvh.child_lo[node]       # [4,3]
-        hi = bvh.child_hi[node]
-        cnode = bvh.child_node[node]  # [4]
-        cfirst = bvh.child_first[node]
-        ccount = bvh.child_count[node]
-
         cur_t_max = jnp.minimum(t_max, jnp.where(best.valid, best.t, INF_DISTANCE))
-        box_hit = _slab_test(lo, hi, ro, inv_d, t_min, cur_t_max)
+        packed, n_push, leaf_mask, cfirst, ccount = _visit_node(
+            bvh, node, ro, inv_d, t_min, cur_t_max)
 
-        # leaves: one vectorized test over all 4x4 candidate prims
-        lane = jnp.arange(leaf_cap, dtype=jnp.int32)
-        pj = (cfirst[:, None] + lane[None, :]).reshape(-1)            # [16]
-        mask = ((ccount[:, None] > 0) & box_hit[:, None]
-                & (lane[None, :] < ccount[:, None])).reshape(-1)       # [16]
-        pj = jnp.where(mask, pj, 0)
+        pj, mask = _leaf_prims(leaf_mask, cfirst, ccount, leaf_cap)
         t, beta, gamma, valid = intersect_triangles(
             tri.v0[pj], tri.v1[pj], tri.v2[pj], ro, rd, t_min, cur_t_max)
         valid = valid & mask
@@ -153,12 +180,13 @@ def _bvh_closest(scene: Scene, ro, rd, t_min, t_max) -> Hit:
                    beta=beta[j], gamma=gamma[j])
         best = _closer(best, cand)
 
-        # internals: push hit children
-        for w in range(4):
-            push = (cnode[w] >= 0) & box_hit[w]
-            stack = stack.at[sp].set(jnp.where(push, cnode[w], stack[sp]))
-            sp = sp + push.astype(jnp.int32)
-
+        # single-slice push of all hit children (stack size leaves W slack)
+        sp_safe = jnp.minimum(sp, STACK_DEPTH - W)
+        stack = jax.lax.dynamic_update_slice(
+            stack, jnp.where(jnp.arange(W) < n_push, packed,
+                             jax.lax.dynamic_slice(stack, (sp_safe,), (W,))),
+            (sp_safe,))
+        sp = sp_safe + n_push
         return stack, sp, best
 
     stack0 = jnp.zeros(STACK_DEPTH, jnp.int32)
@@ -168,11 +196,12 @@ def _bvh_closest(scene: Scene, ro, rd, t_min, t_max) -> Hit:
 
 
 def _bvh_any(scene: Scene, ro, rd, t_min, t_max) -> Array:
-    """Any-hit (occlusion) over the BVH with early exit."""
+    """Any-hit (occlusion) over the wide BVH with early exit."""
     bvh = scene.bvh
     tri = scene.triangles
     inv_d = 1.0 / rd
     leaf_cap = 4
+    W = bvh.child_meta.shape[1]
 
     def cond(state):
         _, sp, found = state
@@ -182,26 +211,20 @@ def _bvh_any(scene: Scene, ro, rd, t_min, t_max) -> Array:
         stack, sp, found = state
         node = stack[sp - 1]
         sp = sp - 1
-        lo = bvh.child_lo[node]
-        hi = bvh.child_hi[node]
-        cnode = bvh.child_node[node]
-        cfirst = bvh.child_first[node]
-        ccount = bvh.child_count[node]
-        box_hit = _slab_test(lo, hi, ro, inv_d, t_min, t_max)
+        packed, n_push, leaf_mask, cfirst, ccount = _visit_node(
+            bvh, node, ro, inv_d, t_min, t_max)
 
-        lane = jnp.arange(leaf_cap, dtype=jnp.int32)
-        pj = (cfirst[:, None] + lane[None, :]).reshape(-1)
-        mask = ((ccount[:, None] > 0) & box_hit[:, None]
-                & (lane[None, :] < ccount[:, None])).reshape(-1)
-        pj = jnp.where(mask, pj, 0)
+        pj, mask = _leaf_prims(leaf_mask, cfirst, ccount, leaf_cap)
         _, _, _, valid = intersect_triangles(
             tri.v0[pj], tri.v1[pj], tri.v2[pj], ro, rd, t_min, t_max)
         found = found | jnp.any(valid & mask)
 
-        for w in range(4):
-            push = (cnode[w] >= 0) & box_hit[w]
-            stack = stack.at[sp].set(jnp.where(push, cnode[w], stack[sp]))
-            sp = sp + push.astype(jnp.int32)
+        sp_safe = jnp.minimum(sp, STACK_DEPTH - W)
+        stack = jax.lax.dynamic_update_slice(
+            stack, jnp.where(jnp.arange(W) < n_push, packed,
+                             jax.lax.dynamic_slice(stack, (sp_safe,), (W,))),
+            (sp_safe,))
+        sp = sp_safe + n_push
         return stack, sp, found
 
     stack0 = jnp.zeros(STACK_DEPTH, jnp.int32)

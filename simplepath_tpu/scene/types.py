@@ -96,19 +96,18 @@ class BVHArrays:
     TPU-native replacement for the pointer-chasing binary BVH
     (shapes/BVHAccelerator.h:37-121): nodes are arrays, traversal is an
     explicit-stack loop, and each visit tests all ``W`` child boxes at once
-    on the VPU.
+    on the VPU.  Box and metadata fields are packed into two arrays so each
+    node visit is two gathers, and children are traversed nearest-first.
 
-    child_node[n, w]  >= 0 : index of the w-th child (internal)
-    child_count[n, w] >  0 : leaf with prims prim_order[child_first : +count]
-    child_count == 0 and child_node < 0 : empty slot.
+    child_box[n, w]  = [lo.xyz, hi.xyz] (empty slots carry inverted boxes)
+    child_meta[n, w] = [node, first, count]:
+       node  >= 0 : index of the w-th child (internal)
+       count >  0 : leaf with triangles [first : first+count] (the triangle
+                    table is reordered at build so leaves are contiguous)
+       node < 0 and count == 0 : empty slot.
     """
-    child_lo: Any     # [N,W,3]
-    child_hi: Any     # [N,W,3]
-    child_node: Any   # [N,W] int32
-    child_first: Any  # [N,W] int32
-    child_count: Any  # [N,W] int32
-    prim_kind: Any    # [P] int32: 0=triangle, 1=sphere
-    prim_idx: Any     # [P] int32 index into the kind's table
+    child_box: Any    # [N,W,6] f32
+    child_meta: Any   # [N,W,3] int32
 
 
 @_pytree_dataclass
@@ -187,6 +186,9 @@ class SceneStatic:
     num_materials: int
     has_bvh: bool
     output_file_name: str = "image.pfm"
+    # True → bounce loops use fixed-trip fori_loop (reverse-mode
+    # differentiable); False → batch early-exit while_loop (faster inference)
+    differentiable: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

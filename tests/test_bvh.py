@@ -10,7 +10,7 @@ import pytest
 
 from simplepath_tpu.io.meshgen import displaced_blob, icosphere
 from simplepath_tpu.render.traverse import scene_intersect, scene_intersect_geometry_p
-from simplepath_tpu.scene.bvh import build_bvh4, make_bvh_arrays
+from simplepath_tpu.scene.bvh import build_bvh_wide, make_bvh_arrays
 from simplepath_tpu.scene.types import (BVHArrays, CameraArrays, MaterialArrays,
                                         PlaneArrays, Scene, SceneStatic,
                                         SphereArrays, SphereLightArrays,
@@ -104,17 +104,18 @@ def test_bvh_anyhit_matches(mesh):
 def test_native_builder_matches_numpy(mesh):
     """Native and numpy builders produce valid (not identical) trees; both
     must give identical closest hits."""
-    from simplepath_tpu.native import native_build_bvh4
+    from simplepath_tpu.native import native_build_bvh_wide
     v, f = mesh
     v0 = v[f[:, 0]]; v1 = v[f[:, 1]]; v2 = v[f[:, 2]]
     lo = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
     hi = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
-    result = native_build_bvh4(lo, hi)
+    result = native_build_bvh_wide(lo, hi)
     if result is None:
         pytest.skip("no native toolchain")
     nodes, order = result
     # structural sanity: every prim appears exactly once
     assert sorted(order.tolist()) == list(range(len(f)))
-    assert (nodes["child_count"] <= 4).all()
+    counts = nodes["child_meta"][:, :, 2]
+    assert (counts <= 4).all()
     # leaves cover all prims
-    assert nodes["child_count"].sum() == len(f)
+    assert counts.sum() == len(f)
