@@ -89,7 +89,9 @@ void fill_node(BuildContext& ctx, int node_id, int32_t* first, int32_t* last,
             int32_t* a = cuts[i];
             int32_t* b = cuts[i + 1];
             next_cuts.push_back(a);
-            if (b - a > 1) next_cuts.push_back(median_split(ctx, a, b));
+            // stop splitting a group once it fits in a leaf: keeps leaves
+            // near-full instead of shattering into W half-empty leaves
+            if (b - a > ctx.leaf_size) next_cuts.push_back(median_split(ctx, a, b));
         }
         next_cuts.push_back(last);
         cuts = std::move(next_cuts);

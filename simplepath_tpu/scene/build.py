@@ -221,7 +221,7 @@ def build_scene(ps: ParsedScene, *, cli_integrator: str | None = None,
     if use_bvh and num_tris > 0:
         lo = np.minimum(np.minimum(v0, v1), v2)
         hi = np.maximum(np.maximum(v0, v1), v2)
-        bvh, order = make_bvh_arrays(lo, hi)
+        bvh, order = make_bvh_arrays(lo, hi, v0, v1, v2)
         v0, v1, v2 = v0[order], v1[order], v2[order]
         n0, n1, n2 = n0[order], n1[order], n2[order]
         tm = tm[order]

@@ -11,6 +11,23 @@ for vectorized box tests, which is the right shape for the VPU.
 The builder runs on host in numpy (an optional C++ fast path lives in
 ``simplepath_tpu/native``); triangles are reordered so every leaf references
 a contiguous range of the triangle table.
+
+The device-side structure is a **unified record table** ``f32[M, 64]`` — one
+256-byte row per BVH node, whether internal or leaf — so each traversal
+iteration issues exactly ONE row gather from HBM (TPU gathers reach memory
+bandwidth only for wide contiguous rows; scattered 12-byte vertex fetches do
+not).  Rows are tagged by the sign of the stack reference:
+
+  internal row (ref = +row+1):
+    [ 0:48]  8 child boxes, SoA: lo.x*8, lo.y*8, lo.z*8, hi.x*8, hi.y*8, hi.z*8
+    [48:56]  8 child refs (int32 bitcast): 0 empty, +r+1 internal, -(r+1) leaf
+    [56:64]  pad
+  leaf row (ref = -(row+1)), up to LEAF_SIZE=6 triangles:
+    [ 0:18]  v0 SoA: x*6, y*6, z*6
+    [18:36]  e1 = v0-v1 SoA   (the Shirley A,B,C terms, Triangle.h:107-112)
+    [36:54]  e2 = v0-v2 SoA   (the D,E,F terms)
+    [54:60]  triangle index into the reordered table (int32 bitcast; -1 empty)
+    [60:64]  pad
 """
 
 from __future__ import annotations
@@ -19,10 +36,13 @@ import numpy as np
 
 from .types import BVHArrays
 
-__all__ = ["build_bvh_wide", "make_bvh_arrays", "LEAF_SIZE", "WIDTH"]
+__all__ = ["build_bvh_wide", "pack_records", "make_bvh_arrays",
+           "LEAF_SIZE", "WIDTH", "RECORD_WIDTH"]
 
-LEAF_SIZE = 4   # k_max_leaf_elements (BVHAccelerator.h:211)
+LEAF_SIZE = 6   # record rows fit 6 triangles (reference uses 4,
+                # BVHAccelerator.h:211 — topology is ours to choose)
 WIDTH = 8       # branching factor (power of two)
+RECORD_WIDTH = 64
 
 
 def _median_split(idx: np.ndarray, centroids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -70,7 +90,10 @@ def build_bvh_wide(tri_lo: np.ndarray, tri_hi: np.ndarray,
         for _ in range(levels):
             nxt = []
             for g in groups:
-                if len(g) <= 1:
+                # stop splitting once a group fits in a leaf record: keeps
+                # leaves near-full (fewer rows, fewer leaf visits) instead of
+                # shattering into W half-empty leaves
+                if len(g) <= leaf_size:
                     nxt.append(g)
                 else:
                     a, b = _median_split(g, centroids)
@@ -109,9 +132,61 @@ def build_bvh_wide(tri_lo: np.ndarray, tri_hi: np.ndarray,
 NATIVE_MIN_TRIS = 20_000  # below this the numpy builder is fast enough
 
 
-def make_bvh_arrays(tri_lo: np.ndarray, tri_hi: np.ndarray) -> tuple[BVHArrays, np.ndarray]:
-    """Build and wrap as BVHArrays; also returns prim_order so the caller can
-    reorder the triangle table itself (leaves then index contiguously).
+def pack_records(nodes: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+                 leaf_cap: int = LEAF_SIZE) -> np.ndarray:
+    """Flatten (child_box, child_meta) + REORDERED triangles into the unified
+    f32[M, 64] record table (layout in the module docstring).
+
+    Internal rows come first (root = row 0, ref +1); leaf rows follow.
+    """
+    child_box = nodes["child_box"]      # [Nn, W, 6]
+    child_meta = nodes["child_meta"]    # [Nn, W, 3]
+    Nn, W, _ = child_box.shape
+    assert W == WIDTH
+
+    counts = child_meta[:, :, 2]
+    leaf_mask = counts > 0
+    leaf_first = child_meta[:, :, 1][leaf_mask]           # [L]
+    leaf_count = counts[leaf_mask]                        # [L]
+    assert leaf_count.max(initial=0) <= leaf_cap
+    L = leaf_first.shape[0]
+    M = Nn + L
+    rec = np.zeros((M, RECORD_WIDTH), np.float32)
+
+    # child refs: 0 empty, +row+1 internal, -(row+1) leaf
+    ref = np.zeros((Nn, W), np.int32)
+    internal = child_meta[:, :, 0] >= 0
+    ref[internal] = child_meta[:, :, 0][internal] + 1
+    ref[leaf_mask] = -(Nn + np.arange(L, dtype=np.int32) + 1)
+
+    for axis in range(3):
+        rec[:Nn, axis * 8:axis * 8 + 8] = child_box[:, :, axis]
+        rec[:Nn, 24 + axis * 8:32 + axis * 8] = child_box[:, :, 3 + axis]
+    rec[:Nn, 48:56] = ref.view(np.float32)
+
+    if L:
+        lane = np.arange(leaf_cap, dtype=np.int32)
+        idx = leaf_first[:, None] + lane[None, :]         # [L, K]
+        valid = lane[None, :] < leaf_count[:, None]
+        idxc = np.where(valid, idx, 0)
+        V0 = np.where(valid[..., None], v0[idxc], 0.0)
+        E1 = np.where(valid[..., None], v0[idxc] - v1[idxc], 0.0)
+        E2 = np.where(valid[..., None], v0[idxc] - v2[idxc], 0.0)
+        for axis in range(3):
+            rec[Nn:, axis * 6:axis * 6 + 6] = V0[:, :, axis]
+            rec[Nn:, 18 + axis * 6:24 + axis * 6] = E1[:, :, axis]
+            rec[Nn:, 36 + axis * 6:42 + axis * 6] = E2[:, :, axis]
+        rec[Nn:, 54:54 + leaf_cap] = np.where(valid, idx, -1).astype(np.int32) \
+                                       .view(np.float32)
+    return rec
+
+
+def make_bvh_arrays(tri_lo: np.ndarray, tri_hi: np.ndarray,
+                    v0: np.ndarray, v1: np.ndarray,
+                    v2: np.ndarray) -> tuple[BVHArrays, np.ndarray]:
+    """Build the wide BVH and pack the unified record table; also returns
+    prim_order so the caller can reorder the triangle table itself (leaves
+    then index contiguously).
 
     Uses the native C++ builder for large meshes (lucy-class inputs take
     minutes through the Python builder), numpy otherwise/as fallback."""
@@ -127,6 +202,5 @@ def make_bvh_arrays(tri_lo: np.ndarray, tri_hi: np.ndarray) -> tuple[BVHArrays, 
             nodes, order = result
     if nodes is None:
         nodes, order = build_bvh_wide(tri_lo, tri_hi)
-    bvh = BVHArrays(child_box=jnp.asarray(nodes["child_box"]),
-                    child_meta=jnp.asarray(nodes["child_meta"]))
-    return bvh, order
+    records = pack_records(nodes, v0[order], v1[order], v2[order])
+    return BVHArrays(records=jnp.asarray(records)), order

@@ -91,23 +91,13 @@ class TriangleArrays:
 
 @_pytree_dataclass
 class BVHArrays:
-    """Flattened wide BVH over the bounded primitives.
-
-    TPU-native replacement for the pointer-chasing binary BVH
-    (shapes/BVHAccelerator.h:37-121): nodes are arrays, traversal is an
-    explicit-stack loop, and each visit tests all ``W`` child boxes at once
-    on the VPU.  Box and metadata fields are packed into two arrays so each
-    node visit is two gathers, and children are traversed nearest-first.
-
-    child_box[n, w]  = [lo.xyz, hi.xyz] (empty slots carry inverted boxes)
-    child_meta[n, w] = [node, first, count]:
-       node  >= 0 : index of the w-th child (internal)
-       count >  0 : leaf with triangles [first : first+count] (the triangle
-                    table is reordered at build so leaves are contiguous)
-       node < 0 and count == 0 : empty slot.
-    """
-    child_box: Any    # [N,W,6] f32
-    child_meta: Any   # [N,W,3] int32
+    """Flattened wide BVH over the bounded primitives, as a unified record
+    table: one 256-byte f32 row per node (internal OR leaf) so every
+    traversal iteration is a single wide row gather — the layout TPU gathers
+    actually stream at HBM bandwidth.  See ``scene/bvh.py`` for the row
+    format.  TPU-native replacement for the pointer-chasing binary BVH
+    (shapes/BVHAccelerator.h:37-121)."""
+    records: Any    # [M,64] f32 (int refs/indices bitcast into f32 slots)
 
 
 @_pytree_dataclass

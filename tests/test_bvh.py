@@ -28,7 +28,7 @@ def tri_scene(v, f, use_bvh):
     if use_bvh:
         lo = np.minimum(np.minimum(v0, v1), v2)
         hi = np.maximum(np.maximum(v0, v1), v2)
-        bvh, order = make_bvh_arrays(lo, hi)
+        bvh, order = make_bvh_arrays(lo, hi, v0, v1, v2)
         v0, v1, v2 = v0[order], v1[order], v2[order]
     z33 = jnp.zeros((0, 3, 3), jnp.float32)
     z3 = jnp.zeros((0, 3), jnp.float32)
@@ -109,13 +109,14 @@ def test_native_builder_matches_numpy(mesh):
     v0 = v[f[:, 0]]; v1 = v[f[:, 1]]; v2 = v[f[:, 2]]
     lo = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
     hi = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
-    result = native_build_bvh_wide(lo, hi)
+    from simplepath_tpu.scene.bvh import LEAF_SIZE
+    result = native_build_bvh_wide(lo, hi, LEAF_SIZE)
     if result is None:
         pytest.skip("no native toolchain")
     nodes, order = result
     # structural sanity: every prim appears exactly once
     assert sorted(order.tolist()) == list(range(len(f)))
     counts = nodes["child_meta"][:, :, 2]
-    assert (counts <= 4).all()
+    assert (counts <= LEAF_SIZE).all()
     # leaves cover all prims
     assert counts.sum() == len(f)
