@@ -52,18 +52,49 @@ def replicate_scene(mesh: Mesh, scene: Scene) -> Scene:
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), scene)
 
 
+# Per-chunk ray-batch cap (per device).  A full 1024² frame as ONE batch
+# carries while-loop state ~[N, STACK] plus one-hot intermediates that blow
+# past HBM at N=1M; fixed-size chunks bound memory AND reuse one compiled
+# executable for every chunk.
+CHUNK_RAYS_PER_DEVICE = 1 << 17
+
+
 def render_image_sharded(scene: Scene, spp: int, key, mesh: Mesh | None = None,
-                         integrator: str | None = None):
-    """Full-frame render with the ray axis sharded across the mesh."""
+                         integrator: str | None = None,
+                         chunk_rays: int | None = None):
+    """Full-frame render with the ray axis sharded across the mesh.
+
+    Large frames are rendered in equal fixed-shape chunks of
+    ``chunk_rays`` pixels (per device) so one compiled program serves any
+    resolution and device memory stays bounded."""
     from ..render.film import render_rays
 
     mesh = mesh or make_ray_mesh()
+    n_dev = mesh.devices.size
     h, w = scene.static.height, scene.static.width
     ys_g, xs_g = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
                               jnp.arange(w, dtype=jnp.int32), indexing="ij")
-    xs, ys, n = shard_pixels(mesh, xs_g.reshape(-1), ys_g.reshape(-1))
+    xs_all = xs_g.reshape(-1)
+    ys_all = ys_g.reshape(-1)
+    n = xs_all.shape[0]
     scene = replicate_scene(mesh, scene)
+    sh = NamedSharding(mesh, P("rays"))
 
+    chunk = (chunk_rays or CHUNK_RAYS_PER_DEVICE) * n_dev
     fn = jax.jit(render_rays, static_argnames=("spp", "integrator"))
-    flat = fn(scene, xs, ys, spp=spp, key=key, integrator=integrator)
+
+    if n <= chunk:
+        xs, ys, _ = shard_pixels(mesh, xs_all, ys_all)
+        flat = fn(scene, xs, ys, spp=spp, key=key, integrator=integrator)
+        return flat[:n].reshape(h, w, 3)
+
+    n_pad = pad_to_multiple(n, chunk)
+    xs_all = jnp.pad(xs_all, (0, n_pad - n))
+    ys_all = jnp.pad(ys_all, (0, n_pad - n))
+    out = []
+    for c0 in range(0, n_pad, chunk):
+        xs = jax.device_put(xs_all[c0:c0 + chunk], sh)
+        ys = jax.device_put(ys_all[c0:c0 + chunk], sh)
+        out.append(fn(scene, xs, ys, spp=spp, key=key, integrator=integrator))
+    flat = jnp.concatenate(out, axis=0)
     return flat[:n].reshape(h, w, 3)
