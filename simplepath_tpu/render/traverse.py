@@ -102,7 +102,7 @@ def _brute_planes(scene: Scene, ro, rd, t_min, t_max) -> Hit:
 
 # ---------------------------------------------------------- BVH traversal
 #
-# The BVH is a unified f32[M,64] record table (scene/bvh.py): one 256-byte
+# The BVH is a unified f32[M,128] record table (scene/bvh.py): one 512-byte
 # row per node, internal or leaf, tagged by the sign of the stack reference.
 # Each loop iteration gathers exactly ONE row per ray — scattered small
 # fetches (per-vertex gathers) run orders of magnitude below HBM bandwidth
@@ -154,7 +154,7 @@ def _visit_internal(rec: Array, is_leaf, ro, inv_d, t_min, cur_t_max):
                        jnp.maximum(t0z, t1z))
     box_hit = (jnp.maximum(tnear, t_min) <= jnp.minimum(tfar, cur_t_max)) \
         & (tfar >= t_min)
-    cref = jax.lax.bitcast_convert_type(rec[48:56], jnp.int32)
+    cref = rec[48:56].astype(jnp.int32)   # refs are exact f32 values
     push = box_hit & (cref != 0) & ~is_leaf
     key = jnp.where(push, tnear, -jnp.inf)
     skey, packed = _sort8_desc(key, cref)
@@ -163,15 +163,16 @@ def _visit_internal(rec: Array, is_leaf, ro, inv_d, t_min, cur_t_max):
 
 
 def _visit_leaf(rec: Array, ro, rd, t_min, cur_t_max):
-    """Shirley barycentric test (Triangle.h:97-162) on a leaf record's ≤6
+    """Shirley barycentric test (Triangle.h:97-162) on a leaf record's ≤12
     triangles.  A,B,C / D,E,F are the precomputed v0-v1 / v0-v2 edges —
     identical arithmetic to ``intersect_triangles``.
 
-    Returns (t, beta, gamma, valid, tri_idx), each [6]."""
-    v0x, v0y, v0z = rec[0:6], rec[6:12], rec[12:18]
-    A, B, C = rec[18:24], rec[24:30], rec[30:36]
-    D, E, F = rec[36:42], rec[42:48], rec[48:54]
-    tri_idx = jax.lax.bitcast_convert_type(rec[54:60], jnp.int32)
+    Returns (t, beta, gamma, valid, tri_idx), each [12]."""
+    K = 12
+    v0x, v0y, v0z = rec[0:K], rec[K:2 * K], rec[2 * K:3 * K]
+    A, B, C = rec[3 * K:4 * K], rec[4 * K:5 * K], rec[5 * K:6 * K]
+    D, E, F = rec[6 * K:7 * K], rec[7 * K:8 * K], rec[8 * K:9 * K]
+    tri_idx = rec[9 * K:10 * K].astype(jnp.int32)   # exact f32 values
     G, H, I = rd[0], rd[1], rd[2]
     J = v0x - ro[0]
     K = v0y - ro[1]

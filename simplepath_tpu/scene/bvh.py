@@ -12,22 +12,26 @@ The builder runs on host in numpy (an optional C++ fast path lives in
 ``simplepath_tpu/native``); triangles are reordered so every leaf references
 a contiguous range of the triangle table.
 
-The device-side structure is a **unified record table** ``f32[M, 64]`` — one
-256-byte row per BVH node, whether internal or leaf — so each traversal
-iteration issues exactly ONE row gather from HBM (TPU gathers reach memory
-bandwidth only for wide contiguous rows; scattered 12-byte vertex fetches do
-not).  Rows are tagged by the sign of the stack reference:
+The device-side structure is a **unified record table** ``f32[M, 128]`` — one
+512-byte row per BVH node, whether internal or leaf — so each traversal
+iteration issues exactly ONE row fetch from HBM (row fetches reach memory
+bandwidth only wide and contiguous; scattered 12-byte vertex fetches do
+not), sized for the Pallas packet-traversal kernel's DMA granularity.  Rows
+are tagged by the sign of the stack reference.  All refs and triangle
+indices are stored as EXACT SMALL FLOATS (not bitcasts) so both the XLA
+gather path and the Pallas kernel's scalar reads consume them directly
+(exact up to 2^24 — build asserts enforce this).
 
   internal row (ref = +row+1):
-    [ 0:48]  8 child boxes, SoA: lo.x*8, lo.y*8, lo.z*8, hi.x*8, hi.y*8, hi.z*8
-    [48:56]  8 child refs (int32 bitcast): 0 empty, +r+1 internal, -(r+1) leaf
-    [56:64]  pad
-  leaf row (ref = -(row+1)), up to LEAF_SIZE=6 triangles:
-    [ 0:18]  v0 SoA: x*6, y*6, z*6
-    [18:36]  e1 = v0-v1 SoA   (the Shirley A,B,C terms, Triangle.h:107-112)
-    [36:54]  e2 = v0-v2 SoA   (the D,E,F terms)
-    [54:60]  triangle index into the reordered table (int32 bitcast; -1 empty)
-    [60:64]  pad
+    [  0:48]  8 child boxes, SoA: lo.x*8, lo.y*8, lo.z*8, hi.x*8, hi.y*8, hi.z*8
+    [ 48:56]  8 child refs (f32 value): 0 empty, +r+1 internal, -(r+1) leaf
+    [ 56:128] pad
+  leaf row (ref = -(row+1)), up to LEAF_SIZE=12 triangles:
+    [  0:36]  v0 SoA: x*12, y*12, z*12
+    [ 36:72]  e1 = v0-v1 SoA   (the Shirley A,B,C terms, Triangle.h:107-112)
+    [ 72:108] e2 = v0-v2 SoA   (the D,E,F terms)
+    [108:120] triangle index into the reordered table (f32 value; -1 empty)
+    [120:128] pad
 """
 
 from __future__ import annotations
@@ -39,10 +43,10 @@ from .types import BVHArrays
 __all__ = ["build_bvh_wide", "pack_records", "make_bvh_arrays",
            "LEAF_SIZE", "WIDTH", "RECORD_WIDTH"]
 
-LEAF_SIZE = 6   # record rows fit 6 triangles (reference uses 4,
+LEAF_SIZE = 12  # record rows fit 12 triangles (reference uses 4,
                 # BVHAccelerator.h:211 — topology is ours to choose)
 WIDTH = 8       # branching factor (power of two)
-RECORD_WIDTH = 64
+RECORD_WIDTH = 128
 
 
 def _median_split(idx: np.ndarray, centroids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -151,21 +155,24 @@ def pack_records(nodes: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     assert leaf_count.max(initial=0) <= leaf_cap
     L = leaf_first.shape[0]
     M = Nn + L
+    assert M < (1 << 24), "record refs stored as exact f32 (row count limit)"
+    assert v0.shape[0] < (1 << 24), "tri indices stored as exact f32"
     rec = np.zeros((M, RECORD_WIDTH), np.float32)
 
-    # child refs: 0 empty, +row+1 internal, -(row+1) leaf
-    ref = np.zeros((Nn, W), np.int32)
+    # child refs: 0 empty, +row+1 internal, -(row+1) leaf (exact f32 values)
+    ref = np.zeros((Nn, W), np.float32)
     internal = child_meta[:, :, 0] >= 0
     ref[internal] = child_meta[:, :, 0][internal] + 1
-    ref[leaf_mask] = -(Nn + np.arange(L, dtype=np.int32) + 1)
+    ref[leaf_mask] = -(Nn + np.arange(L, dtype=np.float32) + 1)
 
     for axis in range(3):
         rec[:Nn, axis * 8:axis * 8 + 8] = child_box[:, :, axis]
         rec[:Nn, 24 + axis * 8:32 + axis * 8] = child_box[:, :, 3 + axis]
-    rec[:Nn, 48:56] = ref.view(np.float32)
+    rec[:Nn, 48:56] = ref
 
     if L:
-        lane = np.arange(leaf_cap, dtype=np.int32)
+        K = leaf_cap
+        lane = np.arange(K, dtype=np.int32)
         idx = leaf_first[:, None] + lane[None, :]         # [L, K]
         valid = lane[None, :] < leaf_count[:, None]
         idxc = np.where(valid, idx, 0)
@@ -173,11 +180,10 @@ def pack_records(nodes: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         E1 = np.where(valid[..., None], v0[idxc] - v1[idxc], 0.0)
         E2 = np.where(valid[..., None], v0[idxc] - v2[idxc], 0.0)
         for axis in range(3):
-            rec[Nn:, axis * 6:axis * 6 + 6] = V0[:, :, axis]
-            rec[Nn:, 18 + axis * 6:24 + axis * 6] = E1[:, :, axis]
-            rec[Nn:, 36 + axis * 6:42 + axis * 6] = E2[:, :, axis]
-        rec[Nn:, 54:54 + leaf_cap] = np.where(valid, idx, -1).astype(np.int32) \
-                                       .view(np.float32)
+            rec[Nn:, axis * K:axis * K + K] = V0[:, :, axis]
+            rec[Nn:, 3 * K + axis * K:4 * K + axis * K] = E1[:, :, axis]
+            rec[Nn:, 6 * K + axis * K:7 * K + axis * K] = E2[:, :, axis]
+        rec[Nn:, 9 * K:10 * K] = np.where(valid, idx, -1).astype(np.float32)
     return rec
 
 

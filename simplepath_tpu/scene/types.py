@@ -92,12 +92,12 @@ class TriangleArrays:
 @_pytree_dataclass
 class BVHArrays:
     """Flattened wide BVH over the bounded primitives, as a unified record
-    table: one 256-byte f32 row per node (internal OR leaf) so every
-    traversal iteration is a single wide row gather — the layout TPU gathers
-    actually stream at HBM bandwidth.  See ``scene/bvh.py`` for the row
-    format.  TPU-native replacement for the pointer-chasing binary BVH
+    table: one 512-byte f32 row per node (internal OR leaf) so every
+    traversal step is a single wide row fetch — sized for the Pallas packet
+    kernel's per-visit DMA.  See ``scene/bvh.py`` for the row format.
+    TPU-native replacement for the pointer-chasing binary BVH
     (shapes/BVHAccelerator.h:37-121)."""
-    records: Any    # [M,64] f32 (int refs/indices bitcast into f32 slots)
+    records: Any    # [M,128] f32 (refs/indices stored as exact f32 values)
 
 
 @_pytree_dataclass
