@@ -31,19 +31,41 @@ def render_rays(scene: Scene, xs: Array, ys: Array, spp: int, key: Array,
     reference's R-sequence pixel jitter (main.cpp:92-98) and a per
     (pixel, sample) threefry key for the integrator.
     """
-    fn = make_integrator(integrator or scene.static.integrator)
+    name = integrator or scene.static.integrator
+    fn = make_integrator(name)
     rho = build_rho_tables(scene.materials)
     n = xs.shape[0]
     lin = ys.astype(jnp.uint32) * jnp.uint32(scene.static.width) + xs.astype(jnp.uint32)
     pix_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(lin)
+    # The adaptive-RR integrator threads per-pixel per-depth Welford stats
+    # across samples (the reference's Array2D<RunningStats> per depth,
+    # Integrator.cpp:370-381).
+    stateful = name == "brute_force_iterative_dynamic_rr"
 
-    def one_sample(s, film):
+    def sample_rays(s):
         jitter = pixel_jitter(xs, ys, jnp.full_like(xs, s))
         px = xs.astype(jnp.float32) + jitter[:, 0]
         py = ys.astype(jnp.float32) + jitter[:, 1]
         ro, rd = generate_ray(scene.camera, px, py)
         keys = jax.vmap(lambda k: jax.random.fold_in(k, s))(pix_keys)
-        pcoords = jnp.stack([px, py], axis=-1)
+        return ro, rd, keys, jnp.stack([px, py], axis=-1)
+
+    if stateful:
+        nd = max(1, scene.static.max_depth - scene.static.russian_roulette_depth)
+        stats0 = (jnp.zeros((n, nd), jnp.float32), jnp.zeros((n, nd), jnp.int32))
+
+        def one_sample(s, carry):
+            film, stats = carry
+            ro, rd, keys, pcoords = sample_rays(s)
+            L, stats = fn(scene, rho, ro, rd, keys, pcoords, stats)
+            return film + L, stats
+
+        film, _ = jax.lax.fori_loop(0, spp, one_sample,
+                                    (jnp.zeros((n, 3), jnp.float32), stats0))
+        return film / spp
+
+    def one_sample(s, film):
+        ro, rd, keys, pcoords = sample_rays(s)
         L = fn(scene, rho, ro, rd, keys, pcoords)
         return film + L
 

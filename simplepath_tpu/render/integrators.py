@@ -379,6 +379,104 @@ def integrate_brute_force_iterative_rr(scene, rho_tables, ro, rd, keys, pcoords=
                                         use_rr=True)
 
 
+def integrate_brute_force_iterative_dynamic_rr(scene, rho_tables, ro, rd, keys,
+                                               pcoords=None, stats=None):
+    """BruteForceIntegratorIterativeDynamicRR (Integrator.cpp:370-460) — the
+    reference's adaptive-RR variant (dead code, absent from the factory at
+    main.cpp:36-49, but part of the component inventory).
+
+    Adaptive RR signal: per-pixel per-depth running MEAN of throughput
+    luminance across samples (``Array2D<RunningStats>`` per depth in the
+    reference).  TPU-native: the Welford state is a pair of dense arrays
+    (mean[N, D], count[N, D]) threaded through the spp loop by the film —
+    pass them as ``stats`` and this returns ``(L, new_stats)``.  With
+    ``stats=None`` a zero-count state is used for this one sample (RR never
+    fires below 16 observations, matching rr_min_samples), and only L is
+    returned.
+
+    Semantics per depth >= russian_roulette_depth, as in the reference:
+    once a bucket has >=16 observations and the path's luminance is below
+    the bucket mean, continue with probability q = max(0.05, lum/mean);
+    survivors are reweighted and push their POST-reweight luminance.
+    """
+    n_rays = ro.shape[0]
+    max_depth = scene.static.max_depth
+    rr_depth = scene.static.russian_roulette_depth
+    nd = max(1, max_depth - rr_depth)
+    rr_min_samples = 16
+
+    return_stats = stats is not None
+    if stats is None:
+        stats = (jnp.zeros((n_rays, nd), jnp.float32),
+                 jnp.zeros((n_rays, nd), jnp.int32))
+    mean0, count0 = stats
+
+    def step(depth, state):
+        ro, rd, t_min, throughput, L, mean, count, alive = state
+        dkeys = jax.vmap(lambda k: jax.random.fold_in(k, depth))(keys)
+
+        lhit, ldist, lL = _lights_batch(scene, ro, rd, t_min,
+                                        jnp.full(n_rays, INF_DISTANCE, jnp.float32))
+        t_max = jnp.where(lhit, ldist, INF_DISTANCE)
+        hit = _intersect_batch(scene, ro, rd, t_min, t_max)
+
+        p, nrm, mid = _shading_batch(scene, hit, ro, rd)
+        onb = jax.vmap(onb_from_v)(nrm)
+        wo_local = jax.vmap(onb_to_local)(onb, -rd)
+        m, ms = _sample_batch(scene, rho_tables, mid, wo_local, dkeys)
+        ms_ok = (ms.pdf > 0.0) & jnp.any(ms.color != 0.0, axis=-1)
+
+        wi = jax.vmap(onb_to_world)(onb, ms.wi)
+        cosine = jnp.sum(wi * nrm, axis=-1)
+        contrib = cosine[:, None] * ms.color / jnp.where(ms.pdf > 0, ms.pdf, 1.0)[:, None]
+        new_throughput = throughput * contrib
+
+        continues = alive & hit.valid & ms_ok
+
+        # ---- adaptive RR against the per-pixel per-depth running mean
+        col = depth - rr_depth                       # bucket for this depth
+        in_rr = (depth >= rr_depth) & (col < nd)
+        onehot = (jnp.arange(nd, dtype=jnp.int32) == col)[None, :]  # [1, nd]
+        bucket_mean = jnp.sum(jnp.where(onehot, mean, 0.0), axis=1)
+        bucket_n = jnp.sum(jnp.where(onehot, count, 0), axis=1)
+        seeded = bucket_n >= rr_min_samples
+        lum = relative_luminance(new_throughput)
+        mean_safe = jnp.where(bucket_mean > 0, bucket_mean, 1.0)
+        rr_active = in_rr & seeded & (lum < bucket_mean)
+        q = jnp.maximum(0.05, lum / mean_safe)
+        rr_continue = jax.vmap(lambda k: uniform_1d(k, SITE_RR))(dkeys) < q
+        new_throughput = jnp.where((rr_active & rr_continue)[:, None],
+                                   new_throughput / q[:, None], new_throughput)
+        continues = continues & ~(rr_active & ~rr_continue)
+
+        # survivors push their post-reweight luminance into the bucket
+        push = in_rr & continues
+        x = relative_luminance(new_throughput)
+        n_new = bucket_n + 1
+        mean_new = bucket_mean + (x - bucket_mean) / n_new.astype(jnp.float32)
+        sel = push[:, None] & onehot
+        mean = jnp.where(sel, mean_new[:, None], mean)
+        count = jnp.where(sel, n_new[:, None], count)
+
+        escaped = alive & ~hit.valid
+        L = L + jnp.where((escaped & lhit)[:, None], throughput * lL, 0.0)
+
+        new_t_min = get_ray_offset(jnp.abs(cosine))
+        ro_out = jnp.where(continues[:, None], p, ro)
+        rd_out = jnp.where(continues[:, None], wi, rd)
+        t_min_out = jnp.where(continues, new_t_min, t_min)
+        thr_out = jnp.where(continues[:, None], new_throughput, throughput)
+        return ro_out, rd_out, t_min_out, thr_out, L, mean, count, continues
+
+    state0 = (ro, rd, jnp.full(n_rays, RAY_EPSILON, jnp.float32),
+              jnp.ones((n_rays, 3), jnp.float32), jnp.zeros((n_rays, 3), jnp.float32),
+              mean0, count0, jnp.ones(n_rays, bool))
+    state = _bounce_loop(scene, state0, step, max_depth)
+    if return_stats:
+        return state[4], (state[5], state[6])
+    return state[4]
+
+
 def integrate_whitted(scene: Scene, rho_tables, ro, rd, keys, pcoords=None) -> Array:
     """WhittedIntegrator (Integrator.cpp:323-368): direct lighting plus an
     unattenuated specular chain (reference quirk); batched."""
@@ -459,6 +557,7 @@ INTEGRATOR_FNS = {
     "brute_force": integrate_brute_force,
     "brute_force_iterative": integrate_brute_force_iterative,
     "brute_force_iterative_rr": integrate_brute_force_iterative_rr,
+    "brute_force_iterative_dynamic_rr": integrate_brute_force_iterative_dynamic_rr,
     "iterative_rrnee": integrate_rrnee,
     "direct_lighting": integrate_direct_lighting,
     "whitted": integrate_whitted,

@@ -47,6 +47,10 @@ INTEGRATORS = (
     "iterative_rrnee",
     "direct_lighting",
     "whitted",
+    # Extension: the reference's adaptive-RR integrator exists
+    # (Integrator.cpp:370-460) but is absent from its string factory
+    # (Integrator.cpp:25-51); we expose it under the obvious name.
+    "brute_force_iterative_dynamic_rr",
 )
 
 
