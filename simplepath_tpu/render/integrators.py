@@ -49,8 +49,8 @@ from .lights import (env_light_pdf, env_light_radiance, env_light_sample,
                      sphere_light_sample)
 from .materials import (HitMaterial, gather_material, material_eval,
                         material_pdf, material_sample)
-from .traverse import (hit_shading, scene_intersect, scene_intersect_lights,
-                       scene_intersect_p)
+from .traverse import (hit_shading, scene_intersect_batch,
+                       scene_intersect_lights, scene_intersect_p)
 
 __all__ = ["make_integrator", "INTEGRATOR_FNS"]
 
@@ -90,13 +90,23 @@ def _light_pdf(scene: Scene, light_index: int, p, wi):
 
 
 def _estimate_direct_mis(scene: Scene, rho_tables, light_index: int, p, n,
-                         wo_world, onb, m: HitMaterial, key) -> Array:
-    """estimate_direct_mis (Integrator.cpp:486-539) for one light; per-ray."""
+                         wo_world, onb, m: HitMaterial, key,
+                         enabled=True) -> Array:
+    """estimate_direct_mis (Integrator.cpp:486-539) for one light; per-ray.
+
+    ``enabled`` short-circuits the (expensive) occlusion traversals on lanes
+    whose NEE result will be masked out anyway (dead / missed lanes): their
+    shadow-ray interval collapses so the BVH root test fails on the first
+    pop instead of walking the whole tree in lock-step.
+    """
     s_u, s_layer, s_lobe, s_2d = _light_sites(light_index)
     ls = _light_sample(scene, light_index, p, n, uniform_2d(key, s_u))
     ls_ok = (ls.pdf > 0.0) & jnp.any(ls.L != 0.0)
 
-    occluded = scene_intersect_p(scene, p, ls.wi, ls.t_min, ls.t_max)
+    enabled = jnp.asarray(enabled)
+    neg_inf = jnp.asarray(-INF_DISTANCE, jnp.float32)
+    occluded = scene_intersect_p(scene, p, ls.wi, ls.t_min,
+                                 jnp.where(enabled, ls.t_max, neg_inf))
 
     wo_local = onb_to_local(onb, wo_world)
     wi_local = onb_to_local(onb, ls.wi)
@@ -156,8 +166,7 @@ def _v(fn, *args):
 
 
 def _intersect_batch(scene, ro, rd, t_min, t_max):
-    return jax.vmap(lambda o, d, a, b: scene_intersect(scene, o, d, a, b))(
-        ro, rd, t_min, t_max)
+    return scene_intersect_batch(scene, ro, rd, t_min, t_max)
 
 
 def _lights_batch(scene, ro, rd, t_min, t_max):

@@ -1,0 +1,74 @@
+"""Parity of the Pallas packet-traversal render path vs the XLA while-loop
+path, run in Pallas interpret mode on CPU (the TPU decision logic in
+traverse._pallas_enabled falls back to interpret off-TPU)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from simplepath_tpu import load_scene
+from simplepath_tpu.render.camera import generate_ray
+from simplepath_tpu.render import traverse as T
+
+SCENE = os.path.join(os.path.dirname(__file__), "scenes", "g_blob.sp")
+
+
+@pytest.fixture(scope="module")
+def scene():
+    s = load_scene(SCENE)
+    if not s.static.has_bvh:
+        pytest.skip("scene has no BVH")
+    return s
+
+
+def _rays(scene, n=640):
+    side = int(np.sqrt(n))
+    ys, xs = jnp.meshgrid(jnp.arange(side), jnp.arange(side), indexing="ij")
+    px = (xs.reshape(-1).astype(jnp.float32) + 0.5) * (scene.static.width / side)
+    py = (ys.reshape(-1).astype(jnp.float32) + 0.5) * (scene.static.height / side)
+    ro, rd = generate_ray(scene.camera, px, py)
+    m = ro.shape[0]
+    return ro, rd, jnp.full((m,), 1e-3, jnp.float32), jnp.full((m,), np.inf, jnp.float32)
+
+
+def test_batch_intersect_pallas_matches_xla(scene, monkeypatch):
+    ro, rd, t_min, t_max = _rays(scene)
+
+    monkeypatch.setenv("SIMPLEPATH_PALLAS", "0")
+    ref = T.scene_intersect_batch(scene, ro, rd, t_min, t_max)
+
+    monkeypatch.setenv("SIMPLEPATH_PALLAS", "1")
+    out = T.scene_intersect_batch(scene, ro, rd, t_min, t_max)
+
+    np.testing.assert_array_equal(np.asarray(out.valid), np.asarray(ref.valid))
+    hitm = np.asarray(ref.valid)
+    np.testing.assert_array_equal(np.asarray(out.kind)[hitm],
+                                  np.asarray(ref.kind)[hitm])
+    np.testing.assert_array_equal(np.asarray(out.idx)[hitm],
+                                  np.asarray(ref.idx)[hitm])
+    np.testing.assert_allclose(np.asarray(out.t)[hitm], np.asarray(ref.t)[hitm],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.beta)[hitm],
+                               np.asarray(ref.beta)[hitm], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.gamma)[hitm],
+                               np.asarray(ref.gamma)[hitm], rtol=1e-4, atol=1e-5)
+
+
+def test_render_pallas_matches_xla(scene, monkeypatch):
+    """A small full render agrees between the two traversal backends."""
+    from simplepath_tpu.render.film import render_rays
+
+    n = 64
+    xs = (jnp.arange(n, dtype=jnp.int32) * 3) % scene.static.width
+    ys = (jnp.arange(n, dtype=jnp.int32) * 7) % scene.static.height
+    key = jax.random.PRNGKey(0)
+
+    monkeypatch.setenv("SIMPLEPATH_PALLAS", "0")
+    ref = render_rays(scene, xs, ys, spp=2, key=key)
+    monkeypatch.setenv("SIMPLEPATH_PALLAS", "1")
+    out = render_rays(scene, xs, ys, spp=2, key=key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
