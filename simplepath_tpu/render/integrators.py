@@ -135,7 +135,9 @@ def _estimate_direct_mis(scene: Scene, rho_tables, light_index: int, p, n,
     w2 = balance_heuristic_counts(1, ms.pdf, 1, light_pdf2)
     mat_t_min = get_ray_offset_nd(n, wi2)
     blocked = scene_intersect_p(scene, p, wi2, mat_t_min,
-                                jnp.asarray(INF_DISTANCE, jnp.float32))
+                                jnp.where(enabled & strat2_enabled & ms_ok,
+                                          jnp.asarray(INF_DISTANCE, jnp.float32),
+                                          neg_inf))
     env_L = env_light_radiance(scene.env, scene.static.env_kind, wi2)
     strat2 = (ms.color * env_L * (jnp.abs(dot(wi2, n)) * w2
                                   / jnp.where(ms.pdf > 0, ms.pdf, 1.0)))
@@ -145,15 +147,20 @@ def _estimate_direct_mis(scene: Scene, rho_tables, light_index: int, p, n,
 
 
 def _estimate_direct(scene: Scene, rho_tables, light_index: int, p, n,
-                     wo_world, onb, m: HitMaterial, key) -> Array:
-    """estimate_direct without MIS (Integrator.cpp:462-484); per-ray."""
+                     wo_world, onb, m: HitMaterial, key, enabled=True) -> Array:
+    """estimate_direct without MIS (Integrator.cpp:462-484); per-ray.
+
+    ``enabled`` collapses the shadow-ray traversal on lanes whose result is
+    masked out by the caller (same trick as ``_estimate_direct_mis``)."""
     s_u, _, _, _ = _light_sites(light_index)
     ls = _light_sample(scene, light_index, p, n, uniform_2d(key, s_u))
     ls_ok = (ls.pdf > 0.0) & jnp.any(ls.L != 0.0)
     wo_local = onb_to_local(onb, wo_world)
     wi_local = onb_to_local(onb, ls.wi)
     f = material_eval(m, wo_local, wi_local)
-    occluded = scene_intersect_p(scene, p, ls.wi, ls.t_min, ls.t_max)
+    occluded = scene_intersect_p(scene, p, ls.wi, ls.t_min,
+                                 jnp.where(jnp.asarray(enabled), ls.t_max,
+                                           jnp.float32(-INF_DISTANCE)))
     contrib = f * ls.L * (jnp.abs(dot(ls.wi, n)) / jnp.where(ls.pdf > 0, ls.pdf, 1.0))
     return jnp.where(ls_ok & jnp.any(f != 0.0) & ~occluded, contrib, 0.0)
 
@@ -187,6 +194,52 @@ def _sample_batch(scene, rho, mid, wo_local, keys):
     return jax.vmap(one)(mid, wo_local, keys)
 
 
+
+
+def _part1by2_u32(x):
+    """Spread the low 10 bits of x so there are two zero bits between each."""
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def _coherence_order(alive, p, rd, lo, inv_extent):
+    """Permutation that groups rays into coherent packets for the next bounce.
+
+    Key = (direction octant, 21-bit Morton of the quantized origin cell);
+    dead lanes sort last so whole packets go dead together and their
+    (collapsed-interval) traversals exit on the first stack pop.  The sort is
+    a pure permutation of independent per-lane computations, so the rendered
+    image is bit-identical with or without it — it exists purely to keep the
+    packet kernel's shared-stack union small on incoherent bounce rays.
+    """
+    oct_ = ((rd[:, 0] < 0).astype(jnp.uint32) * 4
+            + (rd[:, 1] < 0).astype(jnp.uint32) * 2
+            + (rd[:, 2] < 0).astype(jnp.uint32))
+    q = jnp.clip((p - lo) * inv_extent * 127.0, 0.0, 127.0).astype(jnp.uint32)
+    m = ((_part1by2_u32(q[:, 0]) << 2) | (_part1by2_u32(q[:, 1]) << 1)
+         | _part1by2_u32(q[:, 2]))
+    key = (oct_ << 21) | m
+    key = jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
+    return jnp.argsort(key)
+
+
+def _scene_sort_bounds(scene: Scene):
+    """(lo, 1/extent) of the triangle soup, for the coherence-sort key."""
+    tri = scene.triangles
+    lo = jnp.minimum(jnp.minimum(tri.v0.min(0), tri.v1.min(0)), tri.v2.min(0))
+    hi = jnp.maximum(jnp.maximum(tri.v0.max(0), tri.v1.max(0)), tri.v2.max(0))
+    return lo, 1.0 / jnp.maximum(hi - lo, 1e-6)
+
+
+def _use_coherence_sort(scene: Scene, n_rays: int) -> bool:
+    """Static decision: sorting only pays on the packet (Pallas) path."""
+    from .traverse import _pallas_enabled
+    return (not scene.static.differentiable and scene.static.has_bvh
+            and scene.static.num_triangles > 0 and n_rays >= 4096
+            and _pallas_enabled())
 
 
 def _bounce_loop(scene, cond_free_state, step, max_depth):
@@ -245,15 +298,23 @@ def integrate_rrnee(scene: Scene, rho_tables, ro, rd, keys, pcoords=None) -> Arr
     max_depth = scene.static.max_depth
     rr_depth = scene.static.russian_roulette_depth
     rr_cutoff = 0.1
+    sort = _use_coherence_sort(scene, n_rays)
+    if sort:
+        sort_lo, sort_inv = _scene_sort_bounds(scene)
 
     def step(depth, state):
-        ro, rd, t_min, throughput, L, alive = state
-        dkeys = jax.vmap(lambda k: jax.random.fold_in(k, depth))(keys)
+        orig, ro, rd, t_min, throughput, L, alive = state
+        dkeys = jax.vmap(lambda k: jax.random.fold_in(k, depth))(keys[orig])
 
+        neg = jnp.float32(-INF_DISTANCE)
+        # dead lanes carry a collapsed interval: the packet kernel's
+        # best-t front then culls them on the first stack pop, and the
+        # analytic brute-force lanes fail their t tests immediately
         lhit, ldist, lL = _lights_batch(scene, ro, rd, t_min,
-                                        jnp.full(n_rays, INF_DISTANCE, jnp.float32))
+                                        jnp.where(alive, INF_DISTANCE, neg))
         t_max = jnp.where(lhit, ldist, INF_DISTANCE)
-        hit = _intersect_batch(scene, ro, rd, t_min, t_max)
+        hit = _intersect_batch(scene, ro, rd, t_min,
+                               jnp.where(alive, t_max, neg))
 
         p, nrm, mid = _shading_batch(scene, hit, ro, rd)
         onb = jax.vmap(onb_from_v)(nrm)
@@ -262,15 +323,17 @@ def integrate_rrnee(scene: Scene, rho_tables, ro, rd, keys, pcoords=None) -> Arr
         m, ms = _sample_batch(scene, rho_tables, mid, wo_local, dkeys)
         ms_ok = (ms.pdf > 0.0) & jnp.any(ms.color != 0.0, axis=-1)
 
-        # NEE over all lights (Integrator.cpp:589-600)
+        # NEE over all lights (Integrator.cpp:589-600); lanes whose result
+        # is masked out below also collapse their shadow-ray traversals
+        nee_mask = alive & hit.valid & ms_ok
         nee = jnp.zeros((n_rays, 3), jnp.float32)
         for li in range(_num_lights(scene)):
-            nee = nee + jax.vmap(lambda p_, n_, wo_, onb_, m_, k_:
+            nee = nee + jax.vmap(lambda p_, n_, wo_, onb_, m_, k_, en_:
                                  _estimate_direct_mis(scene, rho_tables, li, p_,
-                                                      n_, wo_, onb_, m_, k_))(
-                p, nrm, wo, onb, m, dkeys)
-        L = L + jnp.where((alive & hit.valid & ms_ok)[:, None],
-                          throughput * nee, 0.0)
+                                                      n_, wo_, onb_, m_, k_,
+                                                      enabled=en_))(
+                p, nrm, wo, onb, m, dkeys, nee_mask)
+        L = L + jnp.where(nee_mask[:, None], throughput * nee, 0.0)
 
         # throughput update (Integrator.cpp:603-607)
         wi = jax.vmap(onb_to_world)(onb, ms.wi)
@@ -297,13 +360,23 @@ def integrate_rrnee(scene: Scene, rho_tables, ro, rd, keys, pcoords=None) -> Arr
         rd_out = jnp.where(continues[:, None], wi, rd)
         t_min_out = jnp.where(continues, new_t_min, t_min)
         thr_out = jnp.where(continues[:, None], new_throughput, throughput)
-        return ro_out, rd_out, t_min_out, thr_out, L, continues
+        out = (orig, ro_out, rd_out, t_min_out, thr_out, L, continues)
+        if sort:
+            # regroup surviving rays into coherent packets (pure permutation
+            # of per-lane state — the image is unchanged; see
+            # _coherence_order)
+            perm = _coherence_order(continues, ro_out, rd_out,
+                                    sort_lo, sort_inv)
+            out = tuple(a[perm] for a in out)
+        return out
 
-    state0 = (ro, rd, jnp.full(n_rays, RAY_EPSILON, jnp.float32),
+    state0 = (jnp.arange(n_rays, dtype=jnp.int32), ro, rd,
+              jnp.full(n_rays, RAY_EPSILON, jnp.float32),
               jnp.ones((n_rays, 3), jnp.float32), jnp.zeros((n_rays, 3), jnp.float32),
               jnp.ones(n_rays, bool))
     state = _bounce_loop(scene, state0, step, max_depth)
-    return state[4]
+    orig, L = state[0], state[5]
+    return jnp.zeros((n_rays, 3), jnp.float32).at[orig].set(L)
 
 
 def _integrate_bruteforce_common(scene: Scene, rho_tables, ro, rd, keys,
@@ -320,10 +393,12 @@ def _integrate_bruteforce_common(scene: Scene, rho_tables, ro, rd, keys,
         ro, rd, t_min, throughput, L, alive = state
         dkeys = jax.vmap(lambda k: jax.random.fold_in(k, depth))(keys)
 
+        neg = jnp.float32(-INF_DISTANCE)
         lhit, ldist, lL = _lights_batch(scene, ro, rd, t_min,
-                                        jnp.full(n_rays, INF_DISTANCE, jnp.float32))
+                                        jnp.where(alive, INF_DISTANCE, neg))
         t_max = jnp.where(lhit, ldist, INF_DISTANCE)
-        hit = _intersect_batch(scene, ro, rd, t_min, t_max)
+        hit = _intersect_batch(scene, ro, rd, t_min,
+                               jnp.where(alive, t_max, neg))
 
         p, nrm, mid = _shading_batch(scene, hit, ro, rd)
         onb = jax.vmap(onb_from_v)(nrm)
@@ -424,10 +499,12 @@ def integrate_brute_force_iterative_dynamic_rr(scene, rho_tables, ro, rd, keys,
         ro, rd, t_min, throughput, L, mean, count, alive = state
         dkeys = jax.vmap(lambda k: jax.random.fold_in(k, depth))(keys)
 
+        neg = jnp.float32(-INF_DISTANCE)
         lhit, ldist, lL = _lights_batch(scene, ro, rd, t_min,
-                                        jnp.full(n_rays, INF_DISTANCE, jnp.float32))
+                                        jnp.where(alive, INF_DISTANCE, neg))
         t_max = jnp.where(lhit, ldist, INF_DISTANCE)
-        hit = _intersect_batch(scene, ro, rd, t_min, t_max)
+        hit = _intersect_batch(scene, ro, rd, t_min,
+                               jnp.where(alive, t_max, neg))
 
         p, nrm, mid = _shading_batch(scene, hit, ro, rd)
         onb = jax.vmap(onb_from_v)(nrm)
@@ -498,22 +575,26 @@ def integrate_whitted(scene: Scene, rho_tables, ro, rd, keys, pcoords=None) -> A
         ro, rd, L, alive = state
         dkeys = jax.vmap(lambda k: jax.random.fold_in(k, depth))(keys)
         t_min = jnp.full(n_rays, RAY_EPSILON, jnp.float32)
+        neg = jnp.float32(-INF_DISTANCE)
         lhit, ldist, lL = _lights_batch(scene, ro, rd, t_min,
-                                        jnp.full(n_rays, INF_DISTANCE, jnp.float32))
+                                        jnp.where(alive, INF_DISTANCE, neg))
         t_max = jnp.where(lhit, ldist, INF_DISTANCE)
-        hit = _intersect_batch(scene, ro, rd, t_min, t_max)
+        hit = _intersect_batch(scene, ro, rd, t_min,
+                               jnp.where(alive, t_max, neg))
 
         p, nrm, mid = _shading_batch(scene, hit, ro, rd)
         onb = jax.vmap(onb_from_v)(nrm)
         wo = -rd
         m = jax.vmap(lambda i: gather_material(scene.materials, rho_tables, i))(mid)
         direct = jnp.zeros((n_rays, 3), jnp.float32)
+        dmask = alive & hit.valid
         for li in range(_num_lights(scene)):
-            direct = direct + jax.vmap(lambda p_, n_, wo_, onb_, m_, k_:
+            direct = direct + jax.vmap(lambda p_, n_, wo_, onb_, m_, k_, en_:
                                        _estimate_direct(scene, rho_tables, li,
-                                                        p_, n_, wo_, onb_, m_, k_))(
-                p, nrm, wo, onb, m, dkeys)
-        L = L + jnp.where((alive & hit.valid)[:, None], direct, 0.0)
+                                                        p_, n_, wo_, onb_, m_,
+                                                        k_, enabled=en_))(
+                p, nrm, wo, onb, m, dkeys, dmask)
+        L = L + jnp.where(dmask[:, None], direct, 0.0)
         L = L + jnp.where((alive & ~hit.valid & lhit)[:, None], lL, 0.0)
 
         wo_local = jax.vmap(onb_to_local)(onb, wo)
