@@ -22,8 +22,9 @@ keeps the UNNORMALIZED integral.  Consequences:
 The zero-integral fallback writes ``[0, 1/n, ..., 1]`` in place (no shift).
 
 All of this is deterministic and matches the reference's IBL sampling
-numerically; see tests/test_distribution_parity.py for golden values from
-the compiled reference.
+numerically; see the Distribution1D/2D golden tests in
+tests/test_core_math.py for values captured from a compiled probe of the
+reference header.
 """
 
 from __future__ import annotations
@@ -36,6 +37,7 @@ from jax import Array
 from .vec import lerp
 
 __all__ = ["Distribution1D", "build_distribution_1d", "sample_continuous_1d",
+           "sample_discrete_1d", "discrete_pdf_1d", "invert_1d",
            "Distribution2D", "build_distribution_2d", "sample_continuous_2d",
            "pdf_2d"]
 
@@ -114,6 +116,48 @@ def _sample_from(function: Array, cdf: Array, integral: Array, u: Array,
 
 def sample_continuous_1d(d: Distribution1D, u: Array) -> tuple[Array, Array, Array]:
     return _sample_from(d.function, d.cdf, d.integral, u, d.dmin, d.dmax)
+
+
+def sample_discrete_1d(d: Distribution1D, u: Array) -> tuple[Array, Array, Array]:
+    """sample_discrete (Distribution1D.h:100-111) → (offset, pdf, u_remapped).
+
+    pdf is the DISCRETE probability f[offset] / (integral · n); u_remapped
+    rescales u into the chosen bin.  Like the reference, the remap divides by
+    the raw segment width with no zero guard (a zero-width bin can only be
+    selected at u exactly on its boundary, where the reference's assert
+    allows 0/0 to surface; IEEE semantics are kept).
+    """
+    n = d.function.shape[-1]
+    offset = jnp.clip(_rowwise_upper_bound(d.cdf, u, n), 0, n - 1)
+    f_off = d.function[offset]
+    pdf = jnp.where(d.integral > 0,
+                    f_off / jnp.where(d.integral > 0, d.integral, 1.0) / n, 0.0)
+    u_remapped = (u - d.cdf[offset]) / (d.cdf[offset + 1] - d.cdf[offset])
+    return offset, pdf, u_remapped
+
+
+def discrete_pdf_1d(d: Distribution1D, index: Array) -> Array:
+    """discrete_pdf (Distribution1D.h:113-117): f[i] / (integral · n).
+    Raw division like the reference (asserts, no zero-integral guard)."""
+    n = d.function.shape[-1]
+    return d.function[index] / (d.integral * n)
+
+
+def invert_1d(d: Distribution1D, x: Array) -> tuple[Array, Array]:
+    """invert (Distribution1D.h:119-132) → (value, valid).
+
+    The reference returns std::nullopt outside [min, max]; here ``valid``
+    carries that flag and ``value`` is the in-range result (arbitrary when
+    invalid).  The reference's size_t cast of a negative float is UB; inputs
+    are clamped to the valid range first so the cast is always in-range.
+    """
+    n = d.function.shape[-1]
+    valid = (x >= d.dmin) & (x <= d.dmax)
+    xc = jnp.clip(x, d.dmin, d.dmax)
+    c = (xc - d.dmin) / (d.dmax - d.dmin) * n
+    offset = jnp.clip(c.astype(jnp.int32), 0, n - 1)
+    delta = c - offset.astype(c.dtype)
+    return lerp(delta, d.cdf[offset], d.cdf[offset + 1]), valid
 
 
 class Distribution2D(NamedTuple):

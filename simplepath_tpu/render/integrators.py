@@ -41,7 +41,6 @@ from ..core.color import hsv_to_rgb, relative_luminance
 from ..core.onb import onb_from_v, onb_to_local, onb_to_world
 from ..core.rng import uniform_1d, uniform_2d
 from ..core.smath import balance_heuristic_counts
-from ..core.vec import dot
 from ..scene.types import ENV_NONE, Scene
 from .intersect import INF_DISTANCE, RAY_EPSILON
 from .lights import (env_light_pdf, env_light_radiance, env_light_sample,
@@ -50,7 +49,7 @@ from .lights import (env_light_pdf, env_light_radiance, env_light_sample,
 from .materials import (HitMaterial, gather_material, material_eval,
                         material_pdf, material_sample)
 from .traverse import (hit_shading, scene_intersect_batch,
-                       scene_intersect_lights, scene_intersect_p)
+                       scene_intersect_lights, scene_intersect_p_batch)
 
 __all__ = ["make_integrator", "INTEGRATOR_FNS"]
 
@@ -89,80 +88,135 @@ def _light_pdf(scene: Scene, light_index: int, p, wi):
     return env_light_pdf(scene.env, scene.static.env_kind, wi)
 
 
-def _estimate_direct_mis(scene: Scene, rho_tables, light_index: int, p, n,
-                         wo_world, onb, m: HitMaterial, key,
-                         enabled=True) -> Array:
-    """estimate_direct_mis (Integrator.cpp:486-539) for one light; per-ray.
+def _light_samples_all(scene: Scene, p, nrm, keys):
+    """Draw the light-sampling-strategy sample for EVERY light over the whole
+    wavefront → LightSample of [nl, N, ...] plus ls_ok [nl, N].
 
-    ``enabled`` short-circuits the (expensive) occlusion traversals on lanes
-    whose NEE result will be masked out anyway (dead / missed lanes): their
-    shadow-ray interval collapses so the BVH root test fails on the first
-    pop instead of walking the whole tree in lock-step.
+    Uses the same per-light draw sites as the reference's for_each_light loop
+    (Integrator.cpp:589-600), so sample streams are unchanged vs a per-light
+    formulation."""
+    samples = []
+    for li in range(_num_lights(scene)):
+        s_u = _light_sites(li)[0]
+        ls = jax.vmap(lambda p_, n_, k_: _light_sample(
+            scene, li, p_, n_, uniform_2d(k_, s_u)))(p, nrm, keys)
+        samples.append(ls)
+    ls = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *samples)
+    ls_ok = (ls.pdf > 0.0) & jnp.any(ls.L != 0.0, axis=-1)
+    return ls, ls_ok
+
+
+def _estimate_direct_mis_all(scene: Scene, rho_tables, p, nrm, wo_world, onb,
+                             m: HitMaterial, keys, enabled) -> Array:
+    """estimate_direct_mis (Integrator.cpp:486-539), batched over the whole
+    wavefront AND summed over all lights.
+
+    The reference's per-light for_each_light loop pays one occlusion
+    traversal per (light, strategy, path).  Here shadow rays for every lane
+    and every light are assembled into ONE flat [nl*N] batch per strategy and
+    traversed by the Pallas packet any-hit kernel
+    (:func:`traverse.scene_intersect_p_batch`) — the #1 perf lever flagged in
+    round 1.  Lanes whose contribution is masked (``enabled`` false, or an
+    invalid light sample) carry a collapsed interval (t_max = -inf) so the
+    kernel culls them on the first visit; their masked results are identical
+    either way, so images match the per-ray formulation exactly.
+
+    Reference semantics kept (verified against the C++ oracle in round 1):
+    * early-return when the light strategy is invalid or occluded
+      (Integrator.cpp:498-505) → the BSDF strategy is gated on
+      ``ls_ok & ~occluded``;
+    * the BSDF-strategy occlusion runs with t_max = ∞ and counts lights as
+      blockers (Integrator.cpp:532-535 + Scene.h:79-82), so it only ever
+      delivers ENVIRONMENT radiance — with no env light it is identically
+      zero and skipped (module docstring).
     """
-    s_u, s_layer, s_lobe, s_2d = _light_sites(light_index)
-    ls = _light_sample(scene, light_index, p, n, uniform_2d(key, s_u))
-    ls_ok = (ls.pdf > 0.0) & jnp.any(ls.L != 0.0)
+    n = p.shape[0]
+    nl = _num_lights(scene)
+    if nl == 0:
+        return jnp.zeros((n, 3), jnp.float32)
+    neg_inf = jnp.float32(-INF_DISTANCE)
+    enabled = jnp.broadcast_to(jnp.asarray(enabled), (n,))
 
-    enabled = jnp.asarray(enabled)
-    neg_inf = jnp.asarray(-INF_DISTANCE, jnp.float32)
-    occluded = scene_intersect_p(scene, p, ls.wi, ls.t_min,
-                                 jnp.where(enabled, ls.t_max, neg_inf))
+    ls, ls_ok = _light_samples_all(scene, p, nrm, keys)   # [nl, N, ...]
 
-    wo_local = onb_to_local(onb, wo_world)
-    wi_local = onb_to_local(onb, ls.wi)
-    f = material_eval(m, wo_local, wi_local)
-    bsdf_pdf = material_pdf(m, wo_local, wi_local)
+    ro_flat = jnp.broadcast_to(p[None], (nl, n, 3)).reshape(-1, 3)
+    live1 = enabled[None] & ls_ok
+    occluded = scene_intersect_p_batch(
+        scene, ro_flat, ls.wi.reshape(-1, 3), ls.t_min.reshape(-1),
+        jnp.where(live1, ls.t_max, neg_inf).reshape(-1)).reshape(nl, n)
+
+    wo_local = jax.vmap(onb_to_local)(onb, wo_world)                  # [N,3]
+    wi_local = jax.vmap(lambda w: jax.vmap(onb_to_local)(onb, w))(ls.wi)
+
+    def eval_pdf(wi_l):
+        return (jax.vmap(material_eval)(m, wo_local, wi_l),
+                jax.vmap(material_pdf)(m, wo_local, wi_l))
+    f, bsdf_pdf = jax.vmap(eval_pdf)(wi_local)            # [nl,N,3], [nl,N]
     w1 = balance_heuristic_counts(1, ls.pdf, 1, bsdf_pdf)
-    strat1 = f * ls.L * (jnp.abs(dot(ls.wi, n)) * w1 / jnp.where(ls.pdf > 0, ls.pdf, 1.0))
-    strat1 = jnp.where(ls_ok & ~occluded & jnp.any(f != 0.0) & (bsdf_pdf > 0.0),
-                       strat1, 0.0)
+    cos1 = jnp.abs(jnp.sum(ls.wi * nrm[None], axis=-1))
+    strat1 = f * ls.L * (cos1 * w1 / jnp.where(ls.pdf > 0, ls.pdf, 1.0))[..., None]
+    strat1_ok = ls_ok & ~occluded & jnp.any(f != 0.0, axis=-1) & (bsdf_pdf > 0.0)
+    total = jnp.where(strat1_ok[..., None], strat1, 0.0).sum(0)
 
-    # BSDF-sampling strategy (Integrator.cpp:517-536).  Reference semantics:
-    # runs only when the light strategy was valid AND unoccluded (early
-    # returns at :498-505); its occlusion test counts lights as blockers, so
-    # it can only ever deliver environment radiance (see module docstring).
     if scene.static.env_kind == ENV_NONE:
-        return strat1
+        return total
 
+    # BSDF-sampling strategy (Integrator.cpp:517-536), same flat batching.
     strat2_enabled = ls_ok & ~occluded
-    u_layer = uniform_1d(key, s_layer)
-    u_lobe = uniform_1d(key, s_lobe)
-    u2 = uniform_2d(key, s_2d)
-    ms = material_sample(m, wo_local, u_layer, u_lobe, u2)
-    ms_ok = (ms.pdf > 0.0) & jnp.any(ms.color != 0.0)
-    wi2 = onb_to_world(onb, ms.wi)
-    light_pdf2 = _light_pdf(scene, light_index, p, wi2)
+    ms_list = []
+    for li in range(nl):
+        _, s_layer, s_lobe, s_2d = _light_sites(li)
+        ms = jax.vmap(lambda m_, wl_, k_: material_sample(
+            m_, wl_, uniform_1d(k_, s_layer), uniform_1d(k_, s_lobe),
+            uniform_2d(k_, s_2d)))(m, wo_local, keys)
+        ms_list.append(ms)
+    ms = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ms_list)
+    ms_ok = (ms.pdf > 0.0) & jnp.any(ms.color != 0.0, axis=-1)        # [nl,N]
+    wi2 = jax.vmap(lambda w: jax.vmap(onb_to_world)(onb, w))(ms.wi)   # [nl,N,3]
+    light_pdf2 = jnp.stack([
+        jax.vmap(lambda p_, w_: _light_pdf(scene, li, p_, w_))(p, wi2[li])
+        for li in range(nl)])                                         # [nl,N]
     w2 = balance_heuristic_counts(1, ms.pdf, 1, light_pdf2)
-    mat_t_min = get_ray_offset_nd(n, wi2)
-    blocked = scene_intersect_p(scene, p, wi2, mat_t_min,
-                                jnp.where(enabled & strat2_enabled & ms_ok,
-                                          jnp.asarray(INF_DISTANCE, jnp.float32),
-                                          neg_inf))
-    env_L = env_light_radiance(scene.env, scene.static.env_kind, wi2)
-    strat2 = (ms.color * env_L * (jnp.abs(dot(wi2, n)) * w2
-                                  / jnp.where(ms.pdf > 0, ms.pdf, 1.0)))
-    strat2 = jnp.where(strat2_enabled & ms_ok & (light_pdf2 > 0.0) & ~blocked,
-                       strat2, 0.0)
-    return strat1 + strat2
+    cos2 = jnp.abs(jnp.sum(wi2 * nrm[None], axis=-1))
+    mat_t_min = get_ray_offset(cos2)
+    live2 = enabled[None] & strat2_enabled & ms_ok
+    blocked = scene_intersect_p_batch(
+        scene, ro_flat, wi2.reshape(-1, 3), mat_t_min.reshape(-1),
+        jnp.where(live2, jnp.float32(INF_DISTANCE), neg_inf).reshape(-1)
+    ).reshape(nl, n)
+    env_L = jax.vmap(lambda w: env_light_radiance(
+        scene.env, scene.static.env_kind, w))(wi2.reshape(-1, 3)).reshape(nl, n, 3)
+    strat2 = ms.color * env_L * (cos2 * w2 / jnp.where(ms.pdf > 0, ms.pdf, 1.0))[..., None]
+    strat2_ok = strat2_enabled & ms_ok & (light_pdf2 > 0.0) & ~blocked
+    return total + jnp.where(strat2_ok[..., None], strat2, 0.0).sum(0)
 
 
-def _estimate_direct(scene: Scene, rho_tables, light_index: int, p, n,
-                     wo_world, onb, m: HitMaterial, key, enabled=True) -> Array:
-    """estimate_direct without MIS (Integrator.cpp:462-484); per-ray.
+def _estimate_direct_all(scene: Scene, rho_tables, p, nrm, wo_world, onb,
+                         m: HitMaterial, keys, enabled) -> Array:
+    """estimate_direct without MIS (Integrator.cpp:462-484), batched over the
+    wavefront and summed over all lights; one flat any-hit query total (same
+    batching as :func:`_estimate_direct_mis_all`)."""
+    n = p.shape[0]
+    nl = _num_lights(scene)
+    if nl == 0:
+        return jnp.zeros((n, 3), jnp.float32)
+    enabled = jnp.broadcast_to(jnp.asarray(enabled), (n,))
 
-    ``enabled`` collapses the shadow-ray traversal on lanes whose result is
-    masked out by the caller (same trick as ``_estimate_direct_mis``)."""
-    s_u, _, _, _ = _light_sites(light_index)
-    ls = _light_sample(scene, light_index, p, n, uniform_2d(key, s_u))
-    ls_ok = (ls.pdf > 0.0) & jnp.any(ls.L != 0.0)
-    wo_local = onb_to_local(onb, wo_world)
-    wi_local = onb_to_local(onb, ls.wi)
-    f = material_eval(m, wo_local, wi_local)
-    occluded = scene_intersect_p(scene, p, ls.wi, ls.t_min,
-                                 jnp.where(jnp.asarray(enabled), ls.t_max,
-                                           jnp.float32(-INF_DISTANCE)))
-    contrib = f * ls.L * (jnp.abs(dot(ls.wi, n)) / jnp.where(ls.pdf > 0, ls.pdf, 1.0))
-    return jnp.where(ls_ok & jnp.any(f != 0.0) & ~occluded, contrib, 0.0)
+    ls, ls_ok = _light_samples_all(scene, p, nrm, keys)
+    wo_local = jax.vmap(onb_to_local)(onb, wo_world)
+    wi_local = jax.vmap(lambda w: jax.vmap(onb_to_local)(onb, w))(ls.wi)
+    f = jax.vmap(lambda wi_l: jax.vmap(material_eval)(m, wo_local, wi_l))(wi_local)
+
+    ro_flat = jnp.broadcast_to(p[None], (nl, n, 3)).reshape(-1, 3)
+    live = enabled[None] & ls_ok
+    occluded = scene_intersect_p_batch(
+        scene, ro_flat, ls.wi.reshape(-1, 3), ls.t_min.reshape(-1),
+        jnp.where(live, ls.t_max, jnp.float32(-INF_DISTANCE)).reshape(-1)
+    ).reshape(nl, n)
+    cos1 = jnp.abs(jnp.sum(ls.wi * nrm[None], axis=-1))
+    contrib = f * ls.L * (cos1 / jnp.where(ls.pdf > 0, ls.pdf, 1.0))[..., None]
+    ok = ls_ok & jnp.any(f != 0.0, axis=-1) & ~occluded
+    return jnp.where(ok[..., None], contrib, 0.0).sum(0)
 
 
 # ------------------------------------------------------- batched helpers
@@ -279,12 +333,9 @@ def integrate_direct_lighting(scene: Scene, rho_tables, ro, rd, keys,
     wo = -rd
     m = jax.vmap(lambda i: gather_material(scene.materials, rho_tables, i))(mid)
 
-    L = jnp.zeros((n_rays, 3), jnp.float32)
-    for li in range(_num_lights(scene)):
-        contrib = jax.vmap(lambda p_, n_, wo_, onb_, m_, k_:
-                           _estimate_direct(scene, rho_tables, li, p_, n_, wo_,
-                                            onb_, m_, k_))(p, nrm, wo, onb, m, keys)
-        L = L + jnp.where(hit.valid[:, None], contrib, 0.0)
+    contrib = _estimate_direct_all(scene, rho_tables, p, nrm, wo, onb, m,
+                                   keys, hit.valid)
+    L = jnp.where(hit.valid[:, None], contrib, 0.0)
     L = jnp.where((~hit.valid & lhit)[:, None], lL, L)
     return L
 
@@ -323,16 +374,12 @@ def integrate_rrnee(scene: Scene, rho_tables, ro, rd, keys, pcoords=None) -> Arr
         m, ms = _sample_batch(scene, rho_tables, mid, wo_local, dkeys)
         ms_ok = (ms.pdf > 0.0) & jnp.any(ms.color != 0.0, axis=-1)
 
-        # NEE over all lights (Integrator.cpp:589-600); lanes whose result
-        # is masked out below also collapse their shadow-ray traversals
+        # NEE over all lights (Integrator.cpp:589-600): the whole wavefront's
+        # shadow rays traverse in one batched any-hit query per strategy;
+        # masked lanes collapse their traversal intervals
         nee_mask = alive & hit.valid & ms_ok
-        nee = jnp.zeros((n_rays, 3), jnp.float32)
-        for li in range(_num_lights(scene)):
-            nee = nee + jax.vmap(lambda p_, n_, wo_, onb_, m_, k_, en_:
-                                 _estimate_direct_mis(scene, rho_tables, li, p_,
-                                                      n_, wo_, onb_, m_, k_,
-                                                      enabled=en_))(
-                p, nrm, wo, onb, m, dkeys, nee_mask)
+        nee = _estimate_direct_mis_all(scene, rho_tables, p, nrm, wo, onb, m,
+                                       dkeys, nee_mask)
         L = L + jnp.where(nee_mask[:, None], throughput * nee, 0.0)
 
         # throughput update (Integrator.cpp:603-607)
@@ -586,14 +633,9 @@ def integrate_whitted(scene: Scene, rho_tables, ro, rd, keys, pcoords=None) -> A
         onb = jax.vmap(onb_from_v)(nrm)
         wo = -rd
         m = jax.vmap(lambda i: gather_material(scene.materials, rho_tables, i))(mid)
-        direct = jnp.zeros((n_rays, 3), jnp.float32)
         dmask = alive & hit.valid
-        for li in range(_num_lights(scene)):
-            direct = direct + jax.vmap(lambda p_, n_, wo_, onb_, m_, k_, en_:
-                                       _estimate_direct(scene, rho_tables, li,
-                                                        p_, n_, wo_, onb_, m_,
-                                                        k_, enabled=en_))(
-                p, nrm, wo, onb, m, dkeys, dmask)
+        direct = _estimate_direct_all(scene, rho_tables, p, nrm, wo, onb, m,
+                                      dkeys, dmask)
         L = L + jnp.where(dmask[:, None], direct, 0.0)
         L = L + jnp.where((alive & ~hit.valid & lhit)[:, None], lL, 0.0)
 

@@ -26,7 +26,8 @@ from .intersect import (INF_DISTANCE, intersect_planes, intersect_spheres,
                         triangle_normal)
 
 __all__ = ["Hit", "scene_intersect", "scene_intersect_batch",
-           "scene_intersect_p", "scene_intersect_lights", "hit_shading"]
+           "scene_intersect_p", "scene_intersect_p_batch",
+           "scene_intersect_lights", "hit_shading"]
 
 
 def _pallas_enabled() -> bool:
@@ -500,6 +501,64 @@ def scene_intersect_p(scene: Scene, ro: Array, rd: Array, t_min: Array,
     for li in range(scene.static.num_sphere_lights):
         found = found | sphere_light_intersect_p(scene.sphere_lights, li,
                                                  ro, rd, t_min, t_max)
+    return found
+
+
+def scene_intersect_p_batch(scene: Scene, ro: Array, rd: Array, t_min: Array,
+                            t_max: Array) -> Array:
+    """Occlusion (geometry OR lights) for a flat ray batch — the batched
+    ``Scene::intersect_p`` (Scene.h:79-82) behind every NEE shadow ray.
+
+    On TPU with a triangle BVH the triangle test runs in the Pallas packet
+    any-hit kernel (``pallas_traverse.packet_anyhit``) — ONE fused kernel for
+    the whole wavefront instead of a per-ray vmapped while-loop; analytic
+    primitives and sphere lights are vectorized brute force.  Lanes whose
+    result the caller will mask out should carry a collapsed interval
+    (t_max = -inf): the packet kernel then culls them on the first visit.
+
+    Fully detached — visibility is a discrete decision; its (measure-zero)
+    boundary gradient is out of scope (BASELINE north star).
+    """
+    from .lights import sphere_light_intersect_p
+
+    sg = jax.lax.stop_gradient
+    scene, ro, rd = sg(scene), sg(ro), sg(rd)
+    t_min, t_max = sg(t_min), sg(t_max)
+    n = ro.shape[0]
+    found = jnp.zeros(n, bool)
+    if scene.static.num_triangles > 0:
+        if scene.static.has_bvh and _pallas_enabled():
+            from .pallas_traverse import packet_anyhit
+            interpret = jax.default_backend() != "tpu"
+            found = found | packet_anyhit(scene.bvh.records, ro, rd,
+                                          t_min, t_max, interpret=interpret)
+        elif scene.static.has_bvh:
+            found = found | jax.vmap(
+                lambda o, d, a, b: _bvh_any(scene, o, d, a, b))(
+                ro, rd, t_min, t_max)
+        else:
+            tri = scene.triangles
+
+            def tri_any(o, d, a, b):
+                _, _, _, valid = intersect_triangles(tri.v0, tri.v1, tri.v2,
+                                                     o, d, a, b)
+                return jnp.any(valid)
+            found = found | jax.vmap(tri_any)(ro, rd, t_min, t_max)
+    if scene.static.num_spheres > 0:
+        found = found | jax.vmap(
+            lambda o, d, a, b: jnp.any(intersect_spheres(scene.spheres, o, d,
+                                                         a, b)[1]))(
+            ro, rd, t_min, t_max)
+    if scene.static.num_planes > 0:
+        found = found | jax.vmap(
+            lambda o, d, a, b: jnp.any(intersect_planes(scene.planes, o, d,
+                                                        a, b)[1]))(
+            ro, rd, t_min, t_max)
+    for li in range(scene.static.num_sphere_lights):
+        found = found | jax.vmap(
+            lambda o, d, a, b: sphere_light_intersect_p(scene.sphere_lights,
+                                                        li, o, d, a, b))(
+            ro, rd, t_min, t_max)
     return found
 
 

@@ -14,9 +14,12 @@ from simplepath_tpu.core import sampling as sm
 from simplepath_tpu.core import smath
 from simplepath_tpu.core.distribution import (build_distribution_1d,
                                               build_distribution_2d,
+                                              discrete_pdf_1d,
+                                              invert_1d,
                                               pdf_2d,
                                               sample_continuous_1d,
-                                              sample_continuous_2d)
+                                              sample_continuous_2d,
+                                              sample_discrete_1d)
 from simplepath_tpu.core.onb import onb_from_v, onb_to_local, onb_to_world
 from simplepath_tpu.core.rng import pixel_jitter, r_sequence
 from simplepath_tpu.core.transform import (affine_compose, affine_identity,
@@ -191,6 +194,56 @@ class TestDistributions:
         p = jnp.asarray([[0.2, 0.2], [0.2, 0.8], [0.8, 0.2], [0.8, 0.8]])
         np.testing.assert_allclose(np.asarray(pdf_2d(d, p)),
                                    [1.0, 0.0, 0.0, 3.0], atol=1e-6)
+
+    def test_1d_sample_discrete_golden_parity(self):
+        # Golden values from a compiled -DNDEBUG probe of the reference's
+        # Distribution1D::sample_discrete (Distribution1D.h:100-111).  NB the
+        # left-shifted-CDF quirk makes u_remapped NEGATIVE (the reference's
+        # own debug assert fires); -inf appears on zero-width bins.
+        d = build_distribution_1d(jnp.asarray([1.0, 3.0, 0.0, 4.0]))
+        u = jnp.asarray([0.05, 0.1, 0.2, 0.3, 0.6, 0.9, 0.999])
+        off, pdf, ur = sample_discrete_1d(d, u)
+        np.testing.assert_array_equal(np.asarray(off), [0, 0, 1, 1, 3, 3, 3])
+        np.testing.assert_allclose(
+            np.asarray(pdf),
+            [0.125, 0.125, 0.375, 0.375, 0.5, 0.5, 0.5], atol=1e-6)
+        ur = np.asarray(ur)
+        np.testing.assert_allclose(
+            ur[[0, 1, 4, 5, 6]],
+            [-0.2, -0.066667, -0.4, -0.1, -0.001], atol=1e-5)
+        assert np.all(np.isneginf(ur[[2, 3]]))
+
+    def test_1d_sample_discrete_shifted_domain(self):
+        # probe: Distribution1D({2,1}, -1, 3)
+        d = build_distribution_1d(jnp.asarray([2.0, 1.0]), -1.0, 3.0)
+        off, pdf, ur = sample_discrete_1d(d, jnp.asarray([0.2, 0.8]))
+        np.testing.assert_array_equal(np.asarray(off), [0, 1])
+        np.testing.assert_allclose(np.asarray(pdf), [0.166667, 0.083333], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ur), [-1.4, -0.04], atol=1e-5)
+
+    def test_1d_discrete_pdf_golden_parity(self):
+        d = build_distribution_1d(jnp.asarray([1.0, 3.0, 0.0, 4.0]))
+        got = discrete_pdf_1d(d, jnp.arange(4))
+        np.testing.assert_allclose(np.asarray(got),
+                                   [0.125, 0.375, 0.0, 0.5], atol=1e-6)
+
+    def test_1d_invert_golden_parity(self):
+        # probe values; inv reads cdf[n] = the UNNORMALIZED integral at the
+        # top of the last bin (quirk kept): inv(0.99) = 1.96, inv(1) = 2.
+        d = build_distribution_1d(jnp.asarray([1.0, 3.0, 0.0, 4.0]))
+        x = jnp.asarray([-0.1, 0.0, 0.1, 0.3, 0.5, 0.7, 0.99, 1.0, 1.1])
+        val, valid = invert_1d(d, x)
+        np.testing.assert_array_equal(
+            np.asarray(valid),
+            [False, True, True, True, True, True, True, True, False])
+        np.testing.assert_allclose(
+            np.asarray(val)[1:-1],
+            [0.125, 0.275, 0.5, 0.5, 0.9, 1.96, 2.0], atol=1e-5)
+        # shifted-domain probe: Distribution1D({2,1}, -1, 3)
+        e = build_distribution_1d(jnp.asarray([2.0, 1.0]), -1.0, 3.0)
+        val, valid = invert_1d(e, jnp.asarray([0.0, 2.0]))
+        assert bool(valid.all())
+        np.testing.assert_allclose(np.asarray(val), [0.833333, 3.5], atol=1e-5)
 
     def test_2d_pdf_integrates_to_one(self):
         func = jnp.asarray(np.random.RandomState(0).rand(8, 16).astype(np.float32))
