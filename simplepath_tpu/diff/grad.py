@@ -2,7 +2,8 @@
 
 The new capability the reference lacks (SURVEY §7): the render is
 differentiable w.r.t. material albedo/roughness/ior, clearcoat parameters,
-light radiance, and camera parameters.  Discrete decisions (BVH traversal,
+light radiance, and the USER-LEVEL camera parameters (eye, look-at, up,
+fov — the look-at bake runs in-graph, Cameras/Camera.h:99-117).  Discrete decisions (BVH traversal,
 hit selection, lobe/layer selection, RR, occlusion) are detached; continuous
 quantities re-flow through the winning branch — the standard
 detached-sampling estimator, matched against finite differences in
@@ -36,10 +37,10 @@ def get_params(scene: Scene) -> dict[str, Any]:
         "mat_ior": scene.materials.ior,
         "mat_cc_ior": scene.materials.cc_ior,
         "mat_cc_color": scene.materials.cc_color,
-        "cam_vx": scene.camera.vx,
-        "cam_vy": scene.camera.vy,
-        "cam_vz": scene.camera.vz,
-        "cam_origin": scene.camera.origin,
+        "cam_eye": scene.camera.eye,
+        "cam_to": scene.camera.to,
+        "cam_up": scene.camera.up,
+        "cam_fov": scene.camera.fov,
     }
     if scene.static.num_sphere_lights > 0:
         p["light_radiance"] = scene.sphere_lights.radiance
@@ -60,8 +61,8 @@ def set_params(scene: Scene, params: dict[str, Any]) -> Scene:
         cc_color=params["mat_cc_color"],
     )
     camera = dataclasses.replace(
-        scene.camera, vx=params["cam_vx"], vy=params["cam_vy"],
-        vz=params["cam_vz"], origin=params["cam_origin"])
+        scene.camera, eye=params["cam_eye"], to=params["cam_to"],
+        up=params["cam_up"], fov=params["cam_fov"])
     sphere_lights = scene.sphere_lights
     if "light_radiance" in params:
         sphere_lights = dataclasses.replace(scene.sphere_lights,

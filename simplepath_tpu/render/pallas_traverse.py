@@ -55,28 +55,28 @@ _SORT8 = ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
           (1, 2), (3, 4), (5, 6))
 
 
-def _fetch_row(records, row_ref, sem, ref):
-    """DMA the 512B record row |ref|-1 into SMEM and return is_leaf."""
+def _row_dma(records, rows, sem, buf, ref):
+    """Descriptor for the 512B record-row DMA |ref|-1 → rows[buf]."""
     row_idx = jnp.abs(ref).astype(jnp.int32) - 1
-    dma = pltpu.make_async_copy(records.at[pl.ds(row_idx, 1), :], row_ref, sem)
-    dma.start()
-    dma.wait()
-    return ref < 0.0
+    return pltpu.make_async_copy(records.at[pl.ds(row_idx, 1), :],
+                                 rows.at[pl.ds(buf, 1), :], sem.at[buf])
 
 
-def _internal_visit(row_ref, is_leaf, rox, roy, roz, ivx, ivy, ivz,
+def _internal_visit(rows, buf, rep, rox, roy, roz, ivx, ivy, ivz,
                     tmn, limit):
     """Slab-test the 8 children against the packet (math/BBox.h:122-146).
 
     Returns (refs[8], keys[8]) scalars: child refs with packet-min-tnear
     keys, sorted descending (far first) so the LIFO stack pops near first;
     invalid children carry key=-inf.  All reductions collapse [8,128]→scalar.
+    (``rep`` — a representative ray for approximate ordering — was measured
+    slower than the exact min-reduction form and is unused.)
     """
     refs, keys = [], []
     for c in range(W):
-        lox, loy, loz = row_ref[0, c], row_ref[0, 8 + c], row_ref[0, 16 + c]
-        hix, hiy, hiz = row_ref[0, 24 + c], row_ref[0, 32 + c], row_ref[0, 40 + c]
-        cref = row_ref[0, 48 + c]
+        lox, loy, loz = rows[buf, c], rows[buf, 8 + c], rows[buf, 16 + c]
+        hix, hiy, hiz = rows[buf, 24 + c], rows[buf, 32 + c], rows[buf, 40 + c]
+        cref = rows[buf, 48 + c]
         t0x = (lox - rox) * ivx
         t1x = (hix - rox) * ivx
         t0y = (loy - roy) * ivy
@@ -91,7 +91,7 @@ def _internal_visit(row_ref, is_leaf, rox, roy, roz, ivx, ivy, ivz,
                            jnp.minimum(jnp.maximum(t0z, t1z), limit))
         hit = tnear <= tfar                       # [8,128]
         pnear = jnp.min(jnp.where(hit, tnear, INF))
-        valid = (pnear < INF) & (cref != 0.0) & jnp.logical_not(is_leaf)
+        valid = (pnear < INF) & (cref != 0.0)
         keys.append(jnp.where(valid, pnear, NEG_INF))
         refs.append(cref)
     for a, b in _SORT8:
@@ -103,14 +103,14 @@ def _internal_visit(row_ref, is_leaf, rox, roy, roz, ivx, ivy, ivz,
     return refs, keys
 
 
-def _leaf_tri(row_ref, k, rdx, rdy, rdz, rox, roy, roz, tmn, limit):
+def _leaf_tri(rows, buf, k, rdx, rdy, rdz, rox, roy, roz, tmn, limit):
     """Shirley test of leaf triangle k against the packet (Triangle.h:97-162).
 
     Returns (t, beta, gamma, hit [8,128], fidx scalar)."""
-    v0x, v0y, v0z = row_ref[0, k], row_ref[0, K + k], row_ref[0, 2 * K + k]
-    A, B, C = row_ref[0, 3 * K + k], row_ref[0, 4 * K + k], row_ref[0, 5 * K + k]
-    D, E, F = row_ref[0, 6 * K + k], row_ref[0, 7 * K + k], row_ref[0, 8 * K + k]
-    fidx = row_ref[0, 9 * K + k]
+    v0x, v0y, v0z = rows[buf, k], rows[buf, K + k], rows[buf, 2 * K + k]
+    A, B, C = rows[buf, 3 * K + k], rows[buf, 4 * K + k], rows[buf, 5 * K + k]
+    D, E, F = rows[buf, 6 * K + k], rows[buf, 7 * K + k], rows[buf, 8 * K + k]
+    fidx = rows[buf, 9 * K + k]
     G, H, I = rdx, rdy, rdz
     J = v0x - rox
     Kk = v0y - roy
@@ -140,47 +140,55 @@ def _safe_inv(d):
 
 def _closest_kernel(rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r, tmn_r, tmx_r,
                     records, t_out, i_out, b_out, g_out,
-                    row_ref, stack, scl, sem):
+                    rows, stack, scl, nref_ref, sem):
+    """Software-pipelined closest-hit traversal.
+
+    The node row for the NEXT visit is always DMA'd while the current visit's
+    VPU work runs: a leaf pops (and starts fetching) its successor BEFORE
+    testing its 12 triangles; an internal node starts fetching its nearest
+    hit child as soon as the box tests pick it, overlapping the stack writes
+    and loop bookkeeping.  Semantics are identical to the unpipelined form —
+    rows are only fetched earlier, never differently.
+    """
     rox, roy, roz = rox_r[0], roy_r[0], roz_r[0]
     rdx, rdy, rdz = rdx_r[0], rdy_r[0], rdz_r[0]
     tmn, tmx = tmn_r[0], tmx_r[0]
     ivx, ivy, ivz = _safe_inv(rdx), _safe_inv(rdy), _safe_inv(rdz)
+    rep = (rox[0, 0], roy[0, 0], roz[0, 0], ivx[0, 0], ivy[0, 0], ivz[0, 0])
 
     t_out[0] = tmx                     # best-t front, seeded with t_max
     i_out[0] = jnp.full((SUB, LANES), -1.0, jnp.float32)
     b_out[0] = jnp.zeros((SUB, LANES), jnp.float32)
     g_out[0] = jnp.zeros((SUB, LANES), jnp.float32)
 
-    stack[0] = 1.0                     # root ref
+    _row_dma(records, rows, sem, 0, jnp.float32(1.0)).start()   # root
 
-    def cond(sp):
-        return sp > 0
+    def cond(state):
+        _, _, ref = state
+        return ref != 0.0
 
-    def body(sp):
-        ref = stack[sp - 1]
-        sp = sp - 1
-        is_leaf = _fetch_row(records, row_ref, sem, ref)
-        limit = t_out[0]
-
-        scl[0] = 0                     # n_push
-
-        @pl.when(jnp.logical_not(is_leaf))
-        def _():
-            refs, keys = _internal_visit(row_ref, is_leaf, rox, roy, roz,
-                                         ivx, ivy, ivz, tmn, limit)
-            n_push = jnp.zeros((), jnp.int32)
-            for j in range(W):
-                stack[sp + j] = refs[j]
-                n_push = n_push + (keys[j] > NEG_INF).astype(jnp.int32)
-            scl[0] = n_push
+    def body(state):
+        sp, buf, ref = state
+        _row_dma(records, rows, sem, buf, ref).wait()
+        is_leaf = ref < 0.0
+        nbuf = 1 - buf
 
         @pl.when(is_leaf)
         def _():
+            # pop + prefetch FIRST so the DMA flies under the triangle math
+            nref = jnp.where(sp > 0, stack[jnp.maximum(sp - 1, 0)], 0.0)
+            scl[0] = sp - (sp > 0).astype(jnp.int32)
+            nref_ref[0] = nref
+
+            @pl.when(nref != 0.0)
+            def _():
+                _row_dma(records, rows, sem, nbuf, nref).start()
+
             best_t, best_i = t_out[0], i_out[0]
             best_b, best_g = b_out[0], g_out[0]
             for k in range(K):
                 t, beta, gamma, hit, fidx = _leaf_tri(
-                    row_ref, k, rdx, rdy, rdz, rox, roy, roz, tmn, best_t)
+                    rows, buf, k, rdx, rdy, rdz, rox, roy, roz, tmn, best_t)
                 best_i = jnp.where(hit, fidx, best_i)
                 best_b = jnp.where(hit, beta, best_b)
                 best_g = jnp.where(hit, gamma, best_g)
@@ -188,59 +196,123 @@ def _closest_kernel(rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r, tmn_r, tmx_r,
             t_out[0], i_out[0] = best_t, best_i
             b_out[0], g_out[0] = best_b, best_g
 
-        return sp + scl[0]
+        @pl.when(jnp.logical_not(is_leaf))
+        def _():
+            limit = t_out[0]
+            refs, keys = _internal_visit(rows, buf, rep, rox, roy, roz,
+                                         ivx, ivy, ivz, tmn, limit)
+            n_push = jnp.zeros((), jnp.int32)
+            for j in range(W):
+                n_push = n_push + (keys[j] > NEG_INF).astype(jnp.int32)
+            # nearest hit child (= last valid in the descending sort) is
+            # visited next: fetch it now, push only the other n_push-1
+            nref = jnp.float32(0.0)
+            for j in range(W):
+                nref = jnp.where(n_push == j + 1, refs[j], nref)
+            no_push = n_push == 0
+            nref = jnp.where(no_push & (sp > 0), stack[jnp.maximum(sp - 1, 0)],
+                             nref)
+            nref = jnp.where(no_push & (sp <= 0), 0.0, nref)
 
-    jax.lax.while_loop(cond, body, jnp.ones((), jnp.int32))
+            @pl.when(nref != 0.0)
+            def _():
+                _row_dma(records, rows, sem, nbuf, nref).start()
+
+            for j in range(W - 1):     # refs[n_push-1] goes straight to nref
+                stack[sp + j] = refs[j]
+            scl[0] = jnp.where(no_push, sp - (sp > 0).astype(jnp.int32),
+                               sp + n_push - 1)
+            nref_ref[0] = nref
+
+        return scl[0], nbuf, nref_ref[0]
+
+    jax.lax.while_loop(cond, body,
+                       (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                        jnp.float32(1.0)))
 
 
 def _anyhit_kernel(rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r, tmn_r, tmx_r,
                    occ0_r, records, occ_out,
-                   row_ref, stack, scl, sem):
+                   rows, stack, scl, nref_ref, sem):
+    """Software-pipelined any-hit traversal (see _closest_kernel).
+
+    Early exit when every lane is occluded: the prefetched row's DMA is
+    drained (wait) before terminating so no semaphore signal leaks."""
     rox, roy, roz = rox_r[0], roy_r[0], roz_r[0]
     rdx, rdy, rdz = rdx_r[0], rdy_r[0], rdz_r[0]
     tmn, tmx = tmn_r[0], tmx_r[0]
     ivx, ivy, ivz = _safe_inv(rdx), _safe_inv(rdy), _safe_inv(rdz)
+    rep = (rox[0, 0], roy[0, 0], roz[0, 0], ivx[0, 0], ivy[0, 0], ivz[0, 0])
 
     occ_out[0] = occ0_r[0]             # padded/missing lanes pre-occluded
-    stack[0] = 1.0
+    _row_dma(records, rows, sem, 0, jnp.float32(1.0)).start()
 
     def cond(state):
-        sp, done = state
-        return (sp > 0) & jnp.logical_not(done)
+        _, _, ref = state
+        return ref != 0.0
 
     def body(state):
-        sp, _ = state
-        ref = stack[sp - 1]
-        sp = sp - 1
-        is_leaf = _fetch_row(records, row_ref, sem, ref)
+        sp, buf, ref = state
+        _row_dma(records, rows, sem, buf, ref).wait()
+        is_leaf = ref < 0.0
+        nbuf = 1 - buf
         # only unoccluded lanes keep driving traversal
         live_limit = jnp.where(occ_out[0] > 0.5, NEG_INF, tmx)
 
-        scl[0] = 0
-
-        @pl.when(jnp.logical_not(is_leaf))
-        def _():
-            refs, keys = _internal_visit(row_ref, is_leaf, rox, roy, roz,
-                                         ivx, ivy, ivz, tmn, live_limit)
-            n_push = jnp.zeros((), jnp.int32)
-            for j in range(W):
-                stack[sp + j] = refs[j]
-                n_push = n_push + (keys[j] > NEG_INF).astype(jnp.int32)
-            scl[0] = n_push
-
         @pl.when(is_leaf)
         def _():
+            nref = jnp.where(sp > 0, stack[jnp.maximum(sp - 1, 0)], 0.0)
+            scl[0] = sp - (sp > 0).astype(jnp.int32)
+
+            @pl.when(nref != 0.0)
+            def _():
+                _row_dma(records, rows, sem, nbuf, nref).start()
+
             occ = occ_out[0]
             for k in range(K):
-                _, _, _, hit, _ = _leaf_tri(row_ref, k, rdx, rdy, rdz,
+                _, _, _, hit, _ = _leaf_tri(rows, buf, k, rdx, rdy, rdz,
                                             rox, roy, roz, tmn, live_limit)
                 occ = jnp.where(hit, 1.0, occ)
             occ_out[0] = occ
 
-        return sp + scl[0], jnp.all(occ_out[0] > 0.5)
+            done = jnp.all(occ > 0.5)
+
+            @pl.when(done & (nref != 0.0))
+            def _():
+                _row_dma(records, rows, sem, nbuf, nref).wait()
+
+            nref_ref[0] = jnp.where(done, 0.0, nref)
+
+        @pl.when(jnp.logical_not(is_leaf))
+        def _():
+            refs, keys = _internal_visit(rows, buf, rep, rox, roy, roz,
+                                         ivx, ivy, ivz, tmn, live_limit)
+            n_push = jnp.zeros((), jnp.int32)
+            for j in range(W):
+                n_push = n_push + (keys[j] > NEG_INF).astype(jnp.int32)
+            nref = jnp.float32(0.0)
+            for j in range(W):
+                nref = jnp.where(n_push == j + 1, refs[j], nref)
+            no_push = n_push == 0
+            nref = jnp.where(no_push & (sp > 0), stack[jnp.maximum(sp - 1, 0)],
+                             nref)
+            nref = jnp.where(no_push & (sp <= 0), 0.0, nref)
+
+            @pl.when(nref != 0.0)
+            def _():
+                _row_dma(records, rows, sem, nbuf, nref).start()
+
+            for j in range(W - 1):
+                stack[sp + j] = refs[j]
+            scl[0] = jnp.where(no_push, sp - (sp > 0).astype(jnp.int32),
+                               sp + n_push - 1)
+            nref_ref[0] = nref
+
+        return scl[0], nbuf, nref_ref[0]
 
     jax.lax.while_loop(cond, body,
-                       (jnp.ones((), jnp.int32), jnp.zeros((), jnp.bool_)))
+                       (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                        jnp.float32(1.0)))
 
 
 def _to_packets(x: Array, n_pad: int, fill: float) -> Array:
@@ -256,10 +328,11 @@ def _ray_specs(n_in: int):
 
 
 _SCRATCH = [
-    pltpu.SMEM((1, REC), jnp.float32),          # fetched record row
+    pltpu.SMEM((2, REC), jnp.float32),          # double-buffered record rows
     pltpu.SMEM((MAX_STACK,), jnp.float32),      # shared packet stack
-    pltpu.SMEM((1,), jnp.int32),                # n_push scratch
-    pltpu.SemaphoreType.DMA(()),
+    pltpu.SMEM((1,), jnp.int32),                # next-sp scratch
+    pltpu.SMEM((1,), jnp.float32),              # next-ref scratch
+    pltpu.SemaphoreType.DMA((2,)),              # one per row buffer
 ]
 
 

@@ -156,12 +156,17 @@ class EnvLightArrays:
 
 @_pytree_dataclass
 class CameraArrays:
-    """Raster→world perspective transform (Cameras/Camera.h:99-129):
-    direction = px*vx + py*vy + vz, origin fixed."""
-    vx: Any
-    vy: Any
-    vz: Any
-    origin: Any
+    """User-level perspective-camera parameters (Cameras/Camera.h:85-117).
+
+    The raster→world bake (look-at + fov + film dims → vx, vy, vz vectors,
+    Camera.h:99-117) happens IN-GRAPH in ``render.camera.camera_vectors``, so
+    rays — and therefore rendered images and losses — are differentiable
+    w.r.t. eye / to / up / fov, not just the baked vectors."""
+    eye: Any    # [3] camera origin ("origin:" in the .sp DSL)
+    to: Any     # [3] look-at point
+    up: Any     # [3] up vector
+    fov: Any    # [] vertical field of view, degrees
+    wh: Any     # [2] film (width, height) as f32 — bake constants, not trained
 
 
 @dataclasses.dataclass(frozen=True)

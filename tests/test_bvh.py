@@ -43,8 +43,9 @@ def tri_scene(v, f, use_bvh):
         roughness=jnp.full(1, 0.5), ior=jnp.full(1, 1.5),
         has_clearcoat=jnp.zeros(1, jnp.int32), cc_ior=jnp.full(1, 1.5),
         cc_color=jnp.ones((1, 3)))
-    cam = CameraArrays(vx=jnp.zeros(3), vy=jnp.zeros(3), vz=jnp.zeros(3),
-                       origin=jnp.zeros(3))
+    cam = CameraArrays(eye=jnp.zeros(3), to=jnp.asarray([0.0, 0.0, 1.0]),
+                       up=jnp.asarray([0.0, 1.0, 0.0]),
+                       fov=jnp.asarray(45.0), wh=jnp.ones(2))
     return Scene(
         static=static, spheres=SphereArrays(**empty_x),
         planes=PlaneArrays(**empty_x),

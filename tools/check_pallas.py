@@ -55,7 +55,9 @@ scene = Scene(static=static,
               materials=MaterialArrays(*(jnp.zeros(1) for _ in range(7))),
               sphere_lights=SphereLightArrays(z33, z3, z33, z3, z3),
               env=None,
-              camera=CameraArrays(jnp.zeros(3), jnp.zeros(3), jnp.zeros(3), jnp.zeros(3)))
+              camera=CameraArrays(jnp.zeros(3), jnp.asarray([0.0, 0.0, 1.0]),
+                                  jnp.asarray([0.0, 1.0, 0.0]),
+                                  jnp.asarray(45.0), jnp.ones(2)))
 
 hit = jax.vmap(lambda o, dd, a, b: T._bvh_closest(scene, o, dd, a, b))(
     jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(t_min), jnp.asarray(t_max))
