@@ -56,7 +56,7 @@ def replicate_scene(mesh: Mesh, scene: Scene) -> Scene:
 # carries while-loop state ~[N, STACK] plus one-hot intermediates that blow
 # past HBM at N=1M; fixed-size chunks bound memory AND reuse one compiled
 # executable for every chunk.
-CHUNK_RAYS_PER_DEVICE = 1 << 17
+CHUNK_RAYS_PER_DEVICE = 1 << 16
 
 
 def render_image_sharded(scene: Scene, spp: int, key, mesh: Mesh | None = None,

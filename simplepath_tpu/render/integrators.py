@@ -268,6 +268,11 @@ def _coherence_order(alive, p, rd, lo, inv_extent):
     a pure permutation of independent per-lane computations, so the rendered
     image is bit-identical with or without it — it exists purely to keep the
     packet kernel's shared-stack union small on incoherent bounce rays.
+
+    Measured dead ends (don't revisit): Morton-major keys (230k vs 248k
+    paths/s on the bench), and appending quantized-direction tie-break bits
+    (200k) — argsort is stable, so ties preserve scanline/pixel order, which
+    carries MORE sub-cell origin locality than any coarse direction binning.
     """
     oct_ = ((rd[:, 0] < 0).astype(jnp.uint32) * 4
             + (rd[:, 1] < 0).astype(jnp.uint32) * 2
