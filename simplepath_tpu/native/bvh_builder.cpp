@@ -10,12 +10,15 @@
 //
 // Topology: log2(W) levels of median split per node (widest centroid axis,
 // nth_element partition) -> branching factor W, leaves <= leaf_size.
+// (Binned SAH was tried and measured within bench noise of median while
+// building ~2-3x slower -- see PERF.md; median kept.)
 // Output layout matches scene/types.py BVHArrays:
 //   child_box  [N,W,6]  (lo.xyz, hi.xyz; empty slots inverted)
 //   child_meta [N,W,3]  (node, first, count)
 // C ABI, called from Python via ctypes.
 
 #include <algorithm>
+#include <cstddef>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -50,7 +53,17 @@ int alloc_node(BuildContext& ctx) {
     return id;
 }
 
-int32_t* median_split(BuildContext& ctx, int32_t* first, int32_t* last) {
+int32_t* median_split(BuildContext& ctx, int32_t* first, int32_t* last,
+                      int axis) {
+    int32_t* mid = first + (last - first) / 2;
+    std::nth_element(first, mid, last, [&ctx, axis](int32_t a, int32_t b) {
+        return ctx.centroid[static_cast<size_t>(a) * 3 + axis]
+             < ctx.centroid[static_cast<size_t>(b) * 3 + axis];
+    });
+    return mid;
+}
+
+int32_t* median_split_widest(BuildContext& ctx, int32_t* first, int32_t* last) {
     float cmin[3] = {3.4e38f, 3.4e38f, 3.4e38f};
     float cmax[3] = {-3.4e38f, -3.4e38f, -3.4e38f};
     for (int32_t* p = first; p != last; ++p) {
@@ -66,12 +79,7 @@ int32_t* median_split(BuildContext& ctx, int32_t* first, int32_t* last) {
         const float e = cmax[k] - cmin[k];
         if (e > best) { best = e; axis = k; }
     }
-    int32_t* mid = first + (last - first) / 2;
-    std::nth_element(first, mid, last, [&ctx, axis](int32_t a, int32_t b) {
-        return ctx.centroid[static_cast<size_t>(a) * 3 + axis]
-             < ctx.centroid[static_cast<size_t>(b) * 3 + axis];
-    });
-    return mid;
+    return median_split(ctx, first, last, axis);
 }
 
 struct WorkItem { int node; int32_t* first; int32_t* last; };
@@ -91,7 +99,7 @@ void fill_node(BuildContext& ctx, int node_id, int32_t* first, int32_t* last,
             next_cuts.push_back(a);
             // stop splitting a group once it fits in a leaf: keeps leaves
             // near-full instead of shattering into W half-empty leaves
-            if (b - a > ctx.leaf_size) next_cuts.push_back(median_split(ctx, a, b));
+            if (b - a > ctx.leaf_size) next_cuts.push_back(median_split_widest(ctx, a, b));
         }
         next_cuts.push_back(last);
         cuts = std::move(next_cuts);

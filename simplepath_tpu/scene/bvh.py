@@ -7,6 +7,8 @@ the reference's recursive median split on the widest centroid axis,
 BVHAccelerator.h:175-209) and flatten it into packed SoA arrays for the
 device traversal loop.  A wide branching factor trades pointer-chasing depth
 for vectorized box tests, which is the right shape for the VPU.
+(Binned SAH splits were tried and measured within bench noise of median
+while building slower — see PERF.md.)
 
 The builder runs on host in numpy (an optional C++ fast path lives in
 ``simplepath_tpu/native``); triangles are reordered so every leaf references

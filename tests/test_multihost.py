@@ -1,0 +1,121 @@
+"""Multi-process rendering: 2 CPU processes must produce the 1-process image.
+
+Spawns two subprocesses that jax.distributed.initialize against a local
+coordinator (each contributing 2 virtual CPU devices → a 4-device global
+"rays" mesh), render via parallel.multihost.render_image_multihost, and
+checks the gathered film equals a plain single-process render_image — same
+sample streams, only the device partition differs.  This is the fake-backend
+distributed test the reference has no analog for (SURVEY §4/§5).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCENE = """version: 1
+
+scene_parameters {
+    output_file_name: "mh.pfm"
+    width: 24
+    height: 16
+    max_depth: 3
+    integrator: iterative_rrnee
+}
+
+perspective_camera {
+    origin: 0.0 2.0 5.0
+    look_at: 0.0 1.0 0.0
+    fov: 45
+}
+
+material_lambertian {
+    name: "blue"
+    diffuse: 0.2 0.3 0.7
+}
+
+sphere {
+    translate: 0.0 1.0 0.0
+    material: "blue"
+}
+
+plane {
+    material: "blue"
+}
+
+sphere_light {
+    translate: 0.0 4.0 0.0
+    radiance: 10.0 10.0 10.0
+}
+"""
+
+WORKER = r"""
+import os, sys
+pid = int(sys.argv[1])
+addr = sys.argv[2]
+out = sys.argv[3]
+root = sys.argv[4]
+sys.path.insert(0, root)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+import jax
+jax.config.update("jax_platforms", "cpu")
+# initialize BEFORE importing simplepath_tpu (whose module-level jnp
+# constants would initialize the XLA backend)
+jax.distributed.initialize(coordinator_address=addr, num_processes=2,
+                           process_id=pid)
+from simplepath_tpu.parallel.multihost import render_image_multihost
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4, jax.devices()
+from simplepath_tpu import build_scene, parse_sp
+scene = build_scene(parse_sp(open(os.path.join(out, "scene.sp")).read()))
+img = render_image_multihost(scene, spp=2, key=jax.random.PRNGKey(0))
+import numpy as np
+np.save(os.path.join(out, f"img_{pid}.npy"), img)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.timeout(600)
+def test_two_process_render_matches_single_process():
+    with tempfile.TemporaryDirectory() as td:
+        with open(os.path.join(td, "scene.sp"), "w") as f:
+            f.write(SCENE)
+        with open(os.path.join(td, "worker.py"), "w") as f:
+            f.write(WORKER)
+        addr = f"localhost:{_free_port()}"
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        procs = [subprocess.Popen(
+            [sys.executable, os.path.join(td, "worker.py"), str(pid), addr,
+             td, ROOT],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+            for pid in (0, 1)]
+        outs = [p.communicate(timeout=560)[0] for p in procs]
+        for p, o in zip(procs, outs):
+            assert p.returncode == 0, o.decode(errors="replace")[-2000:]
+
+        img0 = np.load(os.path.join(td, "img_0.npy"))
+        img1 = np.load(os.path.join(td, "img_1.npy"))
+        # both processes gather the same full film
+        np.testing.assert_array_equal(img0, img1)
+
+        # equals the single-process render
+        import jax
+
+        from simplepath_tpu import build_scene, parse_sp, render_image
+        scene = build_scene(parse_sp(SCENE))
+        ref = np.asarray(render_image(scene, spp=2, key=jax.random.PRNGKey(0)))
+        np.testing.assert_allclose(img0, ref, atol=2e-6)
