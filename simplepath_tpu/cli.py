@@ -3,13 +3,21 @@
 Mirrors the reference's CLI (``/root/reference/main.cpp:308-405``):
 
     python -m simplepath_tpu.cli [--samples N] [--integrator NAME]
-                                 [--test] [--spp-chunk N] <scene.sp | ->
+                                 [--spp-chunk N] [--checkpoint PATH]
+                                 [--test] <scene.sp | ->
 
 ``--threads`` is accepted for drop-in compatibility but ignored (the device
 replaces the thread pool).  ``--integrator`` overrides the scene, which
 overrides the DirectLighting default (main.cpp:387-392).  ``--test`` runs
 the built-in test suite like the reference's UnitTests path.  Output is
 written to the scene's ``output_file_name`` next to the scene file.
+
+Rendering always goes through the sharded, ray-chunked path (bounded device
+memory at any resolution; multi-device meshes shard the pixel axis).  With
+``--spp-chunk`` or ``--checkpoint`` the render runs progressively in
+spp-chunk passes — resumable, with a progress bar — and sample streams are
+keyed by absolute sample index so the result is identical to an
+uninterrupted render.
 """
 
 from __future__ import annotations
@@ -41,6 +49,14 @@ def main(argv=None) -> int:
                     help="force a jax platform (e.g. cpu)")
     ap.add_argument("--output", default=None, help="override output file name")
     ap.add_argument("--stats", action="store_true", help="print render stats")
+    ap.add_argument("--spp-chunk", type=int, default=0,
+                    help="render progressively in passes of N spp "
+                         "(default: one pass)")
+    ap.add_argument("--checkpoint", default=None, metavar="PATH",
+                    help="save film+spp checkpoints to PATH and resume from "
+                         "it (implies progressive rendering)")
+    ap.add_argument("--no-progress", action="store_true",
+                    help="disable the progress bar in progressive mode")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
@@ -55,8 +71,10 @@ def main(argv=None) -> int:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    from . import load_scene, parse_sp, render_image
+    from . import load_scene, parse_sp
     from .io.pfm import write_image
+    from .parallel.mesh import render_image_sharded
+    from .render.film import render_image_progressive
     from .scene.build import build_scene
 
     t0 = time.time()
@@ -70,7 +88,15 @@ def main(argv=None) -> int:
     t_parse = time.time() - t0
 
     t0 = time.time()
-    img = render_image(scene, spp=args.samples, key=jax.random.PRNGKey(args.seed))
+    progressive = bool(args.checkpoint) or (0 < args.spp_chunk < args.samples)
+    if progressive:
+        chunk = args.spp_chunk or min(16, args.samples)
+        img = render_image_progressive(
+            scene, args.samples, jax.random.PRNGKey(args.seed), chunk=chunk,
+            checkpoint_path=args.checkpoint, progress=not args.no_progress)
+    else:
+        img = render_image_sharded(scene, args.samples,
+                                   jax.random.PRNGKey(args.seed))
     img.block_until_ready()
     t_render = time.time() - t0
 

@@ -106,13 +106,19 @@ def sin_theta(w: Array) -> Array:
 
 
 def tan_theta(w: Array) -> Array:
+    # |cos| floored at 1e-18 (sign kept): values past that are ≥1e18 — far
+    # beyond any physically meaningful tangent — and the floor keeps the
+    # BACKWARD (-sin/cos²) finite, so masked-out grazing lanes can't turn
+    # zero cotangents into 0·inf = NaN under reverse-mode AD.
     ct = cos_theta(w)
-    return sin_theta(w) / jnp.where(ct == 0.0, 1e-20, ct)
+    safe = jnp.where(jnp.abs(ct) < 1e-18, jnp.where(ct < 0, -1e-18, 1e-18), ct)
+    return sin_theta(w) / safe
 
 
 def tan2_theta(w: Array) -> Array:
-    c2 = cos2_theta(w)
-    return sin2_theta(w) / jnp.where(c2 == 0.0, 1e-38, c2)
+    # c2 floored at 1e-18 for the same AD-safety reason as tan_theta
+    c2 = jnp.maximum(cos2_theta(w), 1e-18)
+    return sin2_theta(w) / c2
 
 
 def cos_phi(w: Array) -> Array:

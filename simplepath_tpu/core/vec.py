@@ -60,8 +60,14 @@ def normalize(a: Array) -> Array:
 
 
 def safe_normalize(a: Array, eps: float = 1e-20) -> Array:
-    """Normalize with a floor so zero vectors don't produce NaNs."""
-    return a * jnp.where(sqr_length(a) > eps, 1.0 / jnp.maximum(length(a), eps), 0.0)[..., None]
+    """Normalize with a floored squared length: zero vectors map to zero
+    vectors and — unlike a where-masked ``1/length`` — the BACKWARD is finite
+    everywhere too (sqrt'(0)=inf would turn masked lanes' zero cotangents
+    into 0·inf = NaN under reverse-mode AD)."""
+    import jax
+
+    len2 = jnp.maximum(sqr_length(a), eps)
+    return a * jax.lax.rsqrt(len2)[..., None]
 
 
 def madd(a, b, c):

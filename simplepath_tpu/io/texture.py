@@ -27,7 +27,7 @@ __all__ = ["remap", "sample_nearest_neighbor", "sample_bilinear",
            "sample_bilinear_true"]
 
 # largest float < 1.0 (base/Constants.h:15)
-_MAX_LT_ONE = jnp.float32(0.99999994)
+_MAX_LT_ONE = 0.99999994  # largest f32 < 1; plain float (no import-time backend init)
 
 
 def remap(f: Array, policy: str) -> tuple[Array, Array]:

@@ -59,14 +59,30 @@ def replicate_scene(mesh: Mesh, scene: Scene) -> Scene:
 CHUNK_RAYS_PER_DEVICE = 1 << 16
 
 
+_RENDER_RAYS_JIT = None
+
+
+def _render_rays_jit():
+    """Module-cached jit of render_rays: repeated calls (progressive passes,
+    chunked frames) reuse one compiled executable instead of re-jitting."""
+    global _RENDER_RAYS_JIT
+    if _RENDER_RAYS_JIT is None:
+        from ..render.film import render_rays
+        _RENDER_RAYS_JIT = jax.jit(render_rays,
+                                   static_argnames=("spp", "integrator"))
+    return _RENDER_RAYS_JIT
+
+
 def render_image_sharded(scene: Scene, spp: int, key, mesh: Mesh | None = None,
                          integrator: str | None = None,
-                         chunk_rays: int | None = None):
+                         chunk_rays: int | None = None,
+                         spp_offset: int = 0):
     """Full-frame render with the ray axis sharded across the mesh.
 
     Large frames are rendered in equal fixed-shape chunks of
     ``chunk_rays`` pixels (per device) so one compiled program serves any
-    resolution and device memory stays bounded."""
+    resolution and device memory stays bounded.  ``spp_offset`` renders
+    absolute sample indices [offset, offset+spp) — see render_rays."""
     from ..render.film import render_rays
 
     mesh = mesh or make_ray_mesh()
@@ -81,11 +97,13 @@ def render_image_sharded(scene: Scene, spp: int, key, mesh: Mesh | None = None,
     sh = NamedSharding(mesh, P("rays"))
 
     chunk = (chunk_rays or CHUNK_RAYS_PER_DEVICE) * n_dev
-    fn = jax.jit(render_rays, static_argnames=("spp", "integrator"))
+    fn = _render_rays_jit()
+    s0 = jnp.asarray(spp_offset, jnp.int32)
 
     if n <= chunk:
         xs, ys, _ = shard_pixels(mesh, xs_all, ys_all)
-        flat = fn(scene, xs, ys, spp=spp, key=key, integrator=integrator)
+        flat = fn(scene, xs, ys, spp=spp, key=key, integrator=integrator,
+                  spp_offset=s0)
         return flat[:n].reshape(h, w, 3)
 
     n_pad = pad_to_multiple(n, chunk)
@@ -95,6 +113,7 @@ def render_image_sharded(scene: Scene, spp: int, key, mesh: Mesh | None = None,
     for c0 in range(0, n_pad, chunk):
         xs = jax.device_put(xs_all[c0:c0 + chunk], sh)
         ys = jax.device_put(ys_all[c0:c0 + chunk], sh)
-        out.append(fn(scene, xs, ys, spp=spp, key=key, integrator=integrator))
+        out.append(fn(scene, xs, ys, spp=spp, key=key, integrator=integrator,
+                      spp_offset=s0))
     flat = jnp.concatenate(out, axis=0)
     return flat[:n].reshape(h, w, 3)

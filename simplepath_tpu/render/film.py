@@ -24,12 +24,17 @@ __all__ = ["render_rays", "render_image"]
 
 
 def render_rays(scene: Scene, xs: Array, ys: Array, spp: int, key: Array,
-                integrator: str | None = None) -> Array:
+                integrator: str | None = None, spp_offset=0) -> Array:
     """Render a flat batch of pixels → [N, 3] radiance means.
 
     xs, ys: int32 pixel coordinates (flat).  Each sample s uses the
     reference's R-sequence pixel jitter (main.cpp:92-98) and a per
     (pixel, sample) threefry key for the integrator.
+
+    ``spp_offset`` renders absolute sample indices [offset, offset+spp) —
+    sample streams are keyed by the absolute index, so chunked/progressive
+    renders compose to exactly the same film as one uninterrupted render.
+    It may be a traced scalar (one compiled program serves every chunk).
     """
     name = integrator or scene.static.integrator
     fn = make_integrator(name)
@@ -54,13 +59,19 @@ def render_rays(scene: Scene, xs: Array, ys: Array, spp: int, key: Array,
         nd = max(1, scene.static.max_depth - scene.static.russian_roulette_depth)
         stats0 = (jnp.zeros((n, nd), jnp.float32), jnp.zeros((n, nd), jnp.int32))
 
-        def one_sample(s, carry):
+        def one_sample_stats(s, carry):
             film, stats = carry
             ro, rd, keys, pcoords = sample_rays(s)
             L, stats = fn(scene, rho, ro, rd, keys, pcoords, stats)
             return film + L, stats
 
-        film, _ = jax.lax.fori_loop(0, spp, one_sample,
+    # reverse mode needs static fori bounds; the differentiable path always
+    # renders from sample 0 (training consumes whole batches, not resumes)
+    s0 = (int(spp_offset) if scene.static.differentiable
+          else jnp.asarray(spp_offset, jnp.int32))
+
+    if stateful:
+        film, _ = jax.lax.fori_loop(s0, s0 + spp, one_sample_stats,
                                     (jnp.zeros((n, 3), jnp.float32), stats0))
         return film / spp
 
@@ -69,7 +80,13 @@ def render_rays(scene: Scene, xs: Array, ys: Array, spp: int, key: Array,
         L = fn(scene, rho, ro, rd, keys, pcoords)
         return film + L
 
-    film = jax.lax.fori_loop(0, spp, one_sample, jnp.zeros((n, 3), jnp.float32))
+    if scene.static.differentiable:
+        # checkpoint each spp iteration too: with the per-bounce remat in
+        # integrators._bounce_loop, reverse-mode memory is O(1) in both spp
+        # and depth (the film sum is the only carried activation)
+        one_sample = jax.checkpoint(one_sample)
+    film = jax.lax.fori_loop(s0, s0 + spp, one_sample,
+                             jnp.zeros((n, 3), jnp.float32))
     return film / spp
 
 
@@ -101,33 +118,11 @@ def render_image_progressive(scene: Scene, spp: int, key: Array,
     """
     import numpy as np
 
+    from ..parallel.mesh import render_image_sharded
     from ..utils import ProgressBar, load_checkpoint, save_checkpoint
 
     h, w = scene.static.height, scene.static.width
-    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
-                          jnp.arange(w, dtype=jnp.int32), indexing="ij")
-    xs, ys = xs.reshape(-1), ys.reshape(-1)
-    fn = make_integrator(integrator or scene.static.integrator)
-    rho = build_rho_tables(scene.materials)
-    lin = ys.astype(jnp.uint32) * jnp.uint32(w) + xs.astype(jnp.uint32)
-    pix_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(lin)
-
-    def render_range(s0: int, n: int):
-        def one_sample(s, film):
-            jitter = pixel_jitter(xs, ys, jnp.full_like(xs, s))
-            px = xs.astype(jnp.float32) + jitter[:, 0]
-            py = ys.astype(jnp.float32) + jitter[:, 1]
-            ro, rd = generate_ray(scene.camera, px, py)
-            keys = jax.vmap(lambda k: jax.random.fold_in(k, s))(pix_keys)
-            pcoords = jnp.stack([px, py], axis=-1)
-            L = fn(scene, rho, ro, rd, keys, pcoords)
-            return film + L
-        return jax.lax.fori_loop(s0, s0 + n,
-                                 one_sample, jnp.zeros((xs.shape[0], 3), jnp.float32))
-
-    render_range_jit = jax.jit(render_range, static_argnums=(1,))
-
-    film_sum = np.zeros((xs.shape[0], 3), np.float32)
+    film_sum = np.zeros((h, w, 3), np.float32)
     done = 0
     if checkpoint_path:
         ck = load_checkpoint(checkpoint_path)
@@ -137,10 +132,18 @@ def render_image_progressive(scene: Scene, spp: int, key: Array,
                 film_sum = film_ck
 
     bar = ProgressBar(spp, "spp") if progress else None
+    if bar and done:
+        bar.update(done)
+        bar.draw()
     last_ck = done
     while done < spp:
         n = min(chunk, spp - done)
-        film_sum = film_sum + np.asarray(render_range_jit(done, n))
+        # each pass renders absolute samples [done, done+n) through the
+        # sharded + ray-chunked path (bounded memory at any resolution); the
+        # traced spp_offset means one compiled program serves every pass
+        img = render_image_sharded(scene, n, key, integrator=integrator,
+                                   spp_offset=done)
+        film_sum = film_sum + np.asarray(img) * n
         done += n
         if bar:
             bar.update(n)
@@ -151,4 +154,4 @@ def render_image_progressive(scene: Scene, spp: int, key: Array,
             last_ck = done
     if bar:
         bar.finish()
-    return jnp.asarray(film_sum / spp).reshape(h, w, 3)
+    return jnp.asarray(film_sum / spp)

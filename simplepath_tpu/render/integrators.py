@@ -305,9 +305,17 @@ def _bounce_loop(scene, cond_free_state, step, max_depth):
     """Drive a bounce body either as an early-exit batch while_loop
     (inference) or a fixed-trip fori_loop (reverse-mode differentiable),
     selected by scene.static.differentiable.  ``step(depth, state) -> state``
-    where state's last element is the alive mask."""
+    where state's last element is the alive mask.
+
+    The differentiable path wraps each bounce in ``jax.checkpoint``: reverse
+    mode then stores only the per-bounce carry (a few [N]-vectors) instead of
+    every traversal/shading intermediate of every bounce, trading one extra
+    forward evaluation per bounce for O(depth)→O(1) activation memory — the
+    SURVEY §5 "checkpointed scan" requirement that makes high-spp
+    differentiable renders fit HBM."""
     if scene.static.differentiable:
-        return jax.lax.fori_loop(0, max_depth, step, cond_free_state)
+        return jax.lax.fori_loop(0, max_depth, jax.checkpoint(step),
+                                 cond_free_state)
 
     def cond(s):
         depth, rest = s

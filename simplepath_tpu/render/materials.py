@@ -40,7 +40,7 @@ from ..core.sampling import (PI, sample_to_uniform_hemisphere,
 from ..core.smath import (abs_cos_theta, cos_phi, cos_theta, erfinv,
                           fresnel_dielectric, same_hemisphere, sin_phi,
                           balance_heuristic)
-from ..core.vec import dot, normalize, reflect, reflect_local
+from ..core.vec import dot, normalize, reflect, safe_normalize, reflect_local
 from ..core.color import relative_luminance
 from ..scene.types import MAT_GLOSSY, MAT_LAMBERTIAN, MaterialArrays
 
@@ -95,18 +95,38 @@ def roughness_to_alpha(roughness: Array) -> Array:
 
 
 def beckmann_d(wh: Array, alpha: Array) -> Array:
-    """Isotropic Beckmann NDF (Material.h:238-247)."""
+    """Isotropic Beckmann NDF (Material.h:238-247).
+
+    AD note: masked lanes get SAFE INPUTS (t2=0, c4=1), not just a masked
+    output — otherwise a (near-)grazing wh (e.g. NEE evaluating a light
+    direction with wi.y ≈ -wo.y, making the half-vector almost horizontal)
+    hits the f32 corner where exp(-t2/a2) underflows to 0 while the backward
+    factor 1/c4² overflows to inf, and 0·inf = NaN poisons every
+    shared-parameter gradient (observed at spp=32).  Values are unchanged:
+    for c4 ≤ 1e-12, t2 ≥ ~1e6 and D underflows to exactly 0 for any
+    physical alpha — the same 0 the mask writes (the reference likewise
+    returns 0 on infinite tan², Material.h:239-241).
+    """
     t2 = smath.tan2_theta(wh)
     c4 = smath.cos2_theta(wh) ** 2
+    ok = jnp.isfinite(t2) & (t2 < 1e30) & (c4 > 1e-12)
+    t2s = jnp.where(ok, t2, 0.0)
+    c4s = jnp.where(ok, c4, 1.0)
     a2 = alpha * alpha
-    d = jnp.exp(-t2 / a2) / (PI * a2 * jnp.maximum(c4, 1e-20))
-    return jnp.where(jnp.isfinite(t2) & (c4 > 0.0), d, 0.0)
+    d = jnp.exp(-t2s / a2) / (PI * a2 * c4s)
+    return jnp.where(ok, d, 0.0)
 
 
 def beckmann_lambda(w: Array, alpha: Array) -> Array:
-    """Masking-shadowing lambda (Material.h:249-261)."""
+    """Masking-shadowing lambda (Material.h:249-261).
+
+    Reciprocal floors here and below are 1e-12, not 1e-20: the backward of
+    1/max(x, eps) computes -1/max(x, eps)^2 BEFORE multiplying by max's zero
+    subgradient, and eps=1e-20 makes that intermediate overflow f32 to inf,
+    turning masked lanes' zero cotangents into 0*inf = NaN.  1e-12 keeps the
+    intermediate at 1e24 (finite) and is far below any live value."""
     abs_tan = jnp.abs(smath.tan_theta(w))
-    a = 1.0 / (alpha * jnp.maximum(abs_tan, 1e-20))
+    a = 1.0 / (alpha * jnp.maximum(abs_tan, 1e-12))
     lam = (1.0 - 1.259 * a + 0.396 * a * a) / (3.535 * a + 2.181 * a * a)
     return jnp.where((a >= 1.6) | ~jnp.isfinite(abs_tan) | (abs_tan < 1e-18),
                      0.0, lam)
@@ -240,7 +260,7 @@ def build_rho_tables(materials: MaterialArrays) -> Array:
         pdf = microfacet_pdf(wo_k, wh, alpha_m) / (4.0 * jnp.maximum(d, 1e-12))
         ok = (d >= 0.0) & same_hemisphere(wo_k, wi) & (pdf > 0.0)
         f = _torrance_sparrow(wo_k, wi, alpha_m, ior_m)
-        contrib = f * abs_cos_theta(wi) / jnp.maximum(pdf, 1e-20)
+        contrib = f * abs_cos_theta(wi) / jnp.maximum(pdf, 1e-12)
         return jnp.where(ok, contrib, 0.0)
 
     fn = jax.vmap(  # over samples
@@ -262,7 +282,7 @@ def _torrance_sparrow(wo: Array, wi: Array, alpha: Array, ior) -> Array:
     wh = wh * jax.lax.rsqrt(jnp.maximum(wh_len2, 1e-20))
     f = fresnel_dielectric(dot(wi, wh), 1.0, ior)
     val = (beckmann_d(wh, alpha) * beckmann_g(wo, wi, alpha) * f
-           / jnp.maximum(4.0 * aci * aco, 1e-20))
+           / jnp.maximum(4.0 * aci * aco, 1e-12))
     return jnp.where(ok, val, 0.0)
 
 
@@ -289,7 +309,7 @@ def _microfacet_sample(wo: Array, alpha: Array, ior: Array, u2: Array) -> tuple[
     wh = beckmann_sample_wh(wo, alpha, u2[..., 0], u2[..., 1])
     d = dot(wo, wh)
     wi = reflect(wo, wh)
-    pdf = microfacet_pdf(wo, wh, alpha) / jnp.maximum(4.0 * d, 1e-20)
+    pdf = microfacet_pdf(wo, wh, alpha) / jnp.maximum(4.0 * d, 1e-12)
     ok = (cos_theta(wo) != 0.0) & (d >= 0.0) & same_hemisphere(wo, wi)
     color = _torrance_sparrow(wo, wi, alpha, ior)
     pdf = jnp.where(ok, pdf, 0.0)
@@ -298,10 +318,15 @@ def _microfacet_sample(wo: Array, alpha: Array, ior: Array, u2: Array) -> tuple[
 
 
 def _microfacet_pdf_wi(wo: Array, wi: Array, alpha: Array) -> Array:
-    """MicrofacetReflection::pdf_impl (Material.h:442-449)."""
+    """MicrofacetReflection::pdf_impl (Material.h:442-449).
+
+    wi ≈ -wo (an NEE shadow direction straight back along the view ray)
+    makes wo+wi a zero vector; safe_normalize keeps wh (and its backward)
+    finite on those lanes — their pdf is masked to 0 by same_hemisphere
+    anyway, matching the reference."""
     sh = same_hemisphere(wo, wi)
-    wh = normalize(wo + wi)
-    pdf = microfacet_pdf(wo, wh, alpha) / jnp.maximum(4.0 * dot(wo, wh), 1e-20)
+    wh = safe_normalize(wo + wi)
+    pdf = microfacet_pdf(wo, wh, alpha) / jnp.maximum(4.0 * dot(wo, wh), 1e-12)
     return jnp.where(sh, pdf, 0.0)
 
 

@@ -153,7 +153,10 @@ def _sort8_desc(keys: Array, vals: Array) -> tuple[Array, Array]:
     return keys, vals
 
 
-_NEG_BIG = jnp.float32(-3.0e38)
+_NEG_BIG = -3.0e38  # plain float: a module-level jnp scalar would
+                    # initialize the XLA backend at import time,
+                    # locking the platform before the CLI's
+                    # --platform flag can select one
 
 
 def _visit_internal(rec: Array, is_leaf, ro, inv_d, t_min, cur_t_max):

@@ -111,7 +111,7 @@ def fd(loss, params, path, idx, eps):
     # measured: fd(3e-5)=0.01453 vs ad=0.01441, while fd(1e-4..1e-3) swings
     # between -0.94 and +0.31 from discrete hit-selection flips
     ("cam_to", (1,), 3e-5),
-    ("cam_fov", (), 1e-3),
+    ("cam_fov", (), 3e-4),   # fd stabilizes ≤3e-4 (silhouette flips above)
 ])
 def test_grad_matches_fd(setup, path, idx, eps):
     loss, params, grads = setup
@@ -119,6 +119,34 @@ def test_grad_matches_fd(setup, path, idx, eps):
     g_fd = fd(loss, params, path, idx, eps)
     tol = max(0.08 * max(abs(g_fd), abs(g_ad)), 2e-3)
     assert abs(g_ad - g_fd) < tol, f"{path}{idx}: ad={g_ad:.6f} fd={g_fd:.6f}"
+
+
+def test_grad_spp32_remat_compiles_and_matches_fd():
+    """High-spp reverse mode: with jax.checkpoint around the spp and bounce
+    loops, a 32-spp differentiable render must compile, produce finite
+    grads, and match spp-accumulated central finite differences (VERDICT
+    round-1 item 6; SURVEY §5 checkpointed-scan row)."""
+    scene = build_scene(parse_sp(SCENE))
+    n = 8 * 8
+    xs = jnp.arange(n, dtype=jnp.int32) % 8
+    ys = jnp.arange(n, dtype=jnp.int32) // 8
+    key = jax.random.PRNGKey(11)
+    params = get_params(scene)
+    target = jnp.full((n, 3), 0.25, jnp.float32)
+
+    def loss(p):
+        return render_loss(scene, p, target, xs, ys, spp=32, key=key)
+
+    loss_jit = jax.jit(loss)
+    grads = jax.jit(jax.grad(loss))(params)
+    g_ad = float(grads["mat_albedo"][1, 2])
+    assert all(bool(jnp.isfinite(g).all()) for g in
+               jax.tree_util.tree_leaves(grads))
+
+    eps = 1e-3
+    g_fd = fd(loss_jit, params, "mat_albedo", (1, 2), eps)
+    tol = max(0.08 * max(abs(g_fd), abs(g_ad)), 2e-3)
+    assert abs(g_ad - g_fd) < tol, f"ad={g_ad:.6f} fd={g_fd:.6f}"
 
 
 def test_gradients_nonzero(setup):
