@@ -42,9 +42,11 @@ def onb_from_v(n: Array) -> Array:
 
 def onb_to_world(onb: Array, a: Array) -> Array:
     """a.x*u + a.y*v + a.z*w (ONB.h:135-138)."""
-    return jnp.einsum("...i,...ij->...j", a, onb)
+    from .vec import vecmat3
+    return vecmat3(a, onb)
 
 
 def onb_to_local(onb: Array, a: Array) -> Array:
     """(dot(a,u), dot(a,v), dot(a,w)) (ONB.h:140-143)."""
-    return jnp.einsum("...j,...ij->...i", a, onb)
+    from .vec import matvec3
+    return matvec3(onb, a)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-from .vec import normalize, cross
+from .vec import cross, matvec3, normalize
 
 __all__ = [
     "Affine",
@@ -90,20 +90,20 @@ def affine_rotate(axis, degrees) -> Affine:
 def affine_compose(a: Affine, b: Affine) -> Affine:
     """a ∘ b: apply b first, then a (AffineSpace.h:170-173)."""
     return Affine(a.linear @ b.linear,
-                  jnp.einsum("...ij,...j->...i", a.linear, b.t) + a.t)
+                  matvec3(a.linear, b.t) + a.t)
 
 
 def affine_inverse(a: Affine) -> Affine:
     il = jnp.linalg.inv(a.linear)
-    return Affine(il, -jnp.einsum("...ij,...j->...i", il, a.t))
+    return Affine(il, -matvec3(il, a.t))
 
 
 def apply_point(a: Affine, p: Array) -> Array:
-    return jnp.einsum("...ij,...j->...i", a.linear, p) + a.t
+    return matvec3(a.linear, p) + a.t
 
 
 def apply_vector(a: Affine, v: Array) -> Array:
-    return jnp.einsum("...ij,...j->...i", a.linear, v)
+    return matvec3(a.linear, v)
 
 
 def apply_normal(a: Affine, n: Array) -> Array:

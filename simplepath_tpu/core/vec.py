@@ -59,6 +59,22 @@ def normalize(a: Array) -> Array:
     return a / length(a)[..., None]
 
 
+def matvec3(m: Array, v: Array) -> Array:
+    """Batched 3x3 matrix @ vec3 as ELEMENTWISE multiply+sum.
+
+    jnp.einsum / ``@`` lower even tiny matvecs onto the MXU, whose default
+    TPU precision is bf16 — measured as a ~20% energy deficit on rendered
+    images (sphere/light/plane intersections lose ~3 decimal digits).
+    Elementwise math stays on the VPU in full f32.  Broadcasts over leading
+    dims of either argument."""
+    return (m * v[..., None, :]).sum(-1)
+
+
+def vecmat3(v: Array, m: Array) -> Array:
+    """Batched vec3^T @ 3x3 (row-vector form of :func:`matvec3`)."""
+    return (v[..., :, None] * m).sum(-2)
+
+
 def safe_normalize(a: Array, eps: float = 1e-20) -> Array:
     """Normalize with a floored squared length: zero vectors map to zero
     vectors and — unlike a where-masked ``1/length`` — the BACKWARD is finite

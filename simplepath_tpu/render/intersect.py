@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from ..core.vec import dot, normalize
+from ..core.vec import dot, matvec3, normalize
 from ..scene.types import PlaneArrays, SphereArrays, TriangleArrays
 
 __all__ = [
@@ -42,8 +42,8 @@ def intersect_spheres(sph: SphereArrays, ro: Array, rd: Array,
 
     ro, rd: [3]; returns (t [S], valid [S]).
     """
-    o = jnp.einsum("sij,j->si", sph.w2o_l, ro) + sph.w2o_t   # [S,3]
-    d = jnp.einsum("sij,j->si", sph.w2o_l, rd)               # [S,3]
+    o = matvec3(sph.w2o_l, ro) + sph.w2o_t   # [S,3]
+    d = matvec3(sph.w2o_l, rd)                # [S,3]
     a = dot(d, d)
     b = 2.0 * dot(d, o)
     c = dot(o, o) - 1.0
@@ -65,8 +65,8 @@ def sphere_normal(sph: SphereArrays, idx: Array, ro: Array, rd: Array, t: Array)
     """
     w2o_l = sph.w2o_l[idx]
     w2o_t = sph.w2o_t[idx]
-    o = w2o_l @ ro + w2o_t
-    d = w2o_l @ rd
+    o = matvec3(w2o_l, ro) + w2o_t
+    d = matvec3(w2o_l, rd)
     n_obj = o + t * d  # radius 1
     n_world = sph.o2w_l[idx] @ n_obj
     # guarded normalize: masked-out lanes may carry degenerate vectors whose
@@ -80,8 +80,8 @@ def sphere_normal(sph: SphereArrays, idx: Array, ro: Array, rd: Array, t: Array)
 def intersect_planes(pl: PlaneArrays, ro: Array, rd: Array,
                      t_min: Array, t_max: Array) -> tuple[Array, Array]:
     """Ray vs all y=0 planes in object space (shapes/Plane.h:21-71)."""
-    oy = jnp.einsum("pj,j->p", pl.w2o_l[:, 1, :], ro) + pl.w2o_t[:, 1]
-    dy = jnp.einsum("pj,j->p", pl.w2o_l[:, 1, :], rd)
+    oy = (pl.w2o_l[:, 1, :] * ro).sum(-1) + pl.w2o_t[:, 1]
+    dy = (pl.w2o_l[:, 1, :] * rd).sum(-1)
     parallel = dy == 0.0
     t = -oy / jnp.where(parallel, 1.0, dy)
     valid = (~parallel) & (t >= t_min) & (t <= t_max)

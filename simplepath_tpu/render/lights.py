@@ -23,7 +23,7 @@ from ..core.onb import onb_from_v, onb_to_world
 from ..core.sampling import (PI, TWO_PI, sample_to_cosine_hemisphere,
                              sample_to_uniform_sphere, spherical_phi,
                              spherical_theta, uniform_sphere_pdf)
-from ..core.vec import dot, length, normalize, sqr_length
+from ..core.vec import dot, length, matvec3, normalize, sqr_length
 from ..scene.types import ENV_CONST, ENV_IBL, EnvLightArrays, SphereLightArrays
 from .intersect import RAY_EPSILON, INF_DISTANCE
 
@@ -65,7 +65,7 @@ def _sphere_shape_sample(lights: SphereLightArrays, li: int, observer_world: Arr
     o2w_l = lights.o2w_l[li]
     o2w_t = lights.o2w_t[li]
 
-    obs = w2o_l @ observer_world + w2o_t           # local observer
+    obs = matvec3(w2o_l, observer_world) + w2o_t           # local observer
     inside = sqr_length(obs) <= 1.0
 
     # outside branch: cosine hemisphere toward observer (Sphere.h:37-50)
@@ -75,14 +75,14 @@ def _sphere_shape_sample(lights: SphereLightArrays, li: int, observer_world: Arr
     s_uni = sample_to_uniform_sphere(u)
 
     local_sample = jnp.where(inside, s_uni, s_cos)
-    point = o2w_l @ local_sample + o2w_t
-    normal = normalize(o2w_l @ local_sample)  # reference: o2w applied to normal
+    point = matvec3(o2w_l, local_sample) + o2w_t
+    normal = normalize(matvec3(o2w_l, local_sample))  # reference: o2w applied to normal
     return point, normal
 
 
 def _sphere_shape_pdf(lights: SphereLightArrays, li: int, observer_world: Array) -> Array:
     """Solid-angle cone pdf (Sphere.h:53-74)."""
-    obs = lights.w2o_l[li] @ observer_world + lights.w2o_t[li]
+    obs = matvec3(lights.w2o_l[li], observer_world) + lights.w2o_t[li]
     sqr_dist = sqr_length(obs)
     inside = sqr_dist <= 1.0
 
@@ -116,8 +116,8 @@ def sphere_light_pdf(lights: SphereLightArrays, li: int, p: Array, wi: Array) ->
 def sphere_light_intersect(lights: SphereLightArrays, li: int, ro: Array, rd: Array,
                            t_min: Array, t_max: Array) -> tuple[Array, Array]:
     """Sphere intersect for light rays → (t, valid) (Light.h:352-359)."""
-    o = lights.w2o_l[li] @ ro + lights.w2o_t[li]
-    d = lights.w2o_l[li] @ rd
+    o = matvec3(lights.w2o_l[li], ro) + lights.w2o_t[li]
+    d = matvec3(lights.w2o_l[li], rd)
     a = dot(d, d)
     b = 2.0 * dot(d, o)
     c = dot(o, o) - 1.0
@@ -171,7 +171,7 @@ def env_light_sample(env: EnvLightArrays, env_kind: int, u: Array) -> LightSampl
     phi = st[0] * TWO_PI
     ct, stheta = jnp.cos(theta), jnp.sin(theta)
     wi_local = jnp.stack([stheta * jnp.cos(phi), ct, stheta * jnp.sin(phi)])
-    wi = env.l2w @ wi_local
+    wi = matvec3(env.l2w, wi_local)
     pdf = jnp.where(stheta == 0.0, 0.0,
                     map_pdf / (2.0 * PI * PI * jnp.where(stheta == 0.0, 1.0, stheta)))
     pdf = jnp.where(map_pdf == 0.0, 0.0, pdf)
@@ -186,7 +186,7 @@ def env_light_pdf(env: EnvLightArrays, env_kind: int, wi: Array) -> Array:
     """pdf_impl (Light.h:166-169, 250-265)."""
     if env_kind == ENV_CONST:
         return jnp.asarray(uniform_sphere_pdf(), jnp.float32)
-    w = env.w2l @ wi
+    w = matvec3(env.w2l, wi)
     theta = spherical_theta(w)
     phi = spherical_phi(w)
     stheta = jnp.sin(theta)
@@ -204,7 +204,7 @@ def env_light_radiance(env: EnvLightArrays, env_kind: int, rd: Array) -> Array:
     (intersect_lights_impl: Light.h:135-141, 196-209)."""
     if env_kind == ENV_CONST:
         return env.radiance
-    w = normalize(env.w2l @ rd)
+    w = normalize(matvec3(env.w2l, rd))
     s = spherical_phi(w) / TWO_PI
     t = spherical_theta(w) / PI
     return _ibl_lookup(env, s, t)

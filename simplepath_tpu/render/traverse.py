@@ -399,8 +399,9 @@ def _refine_hit(scene: Scene, hit: Hit, ro: Array, rd: Array) -> Hit:
         is_sph = hit.kind == KIND_SPHERE
         i = jnp.where(is_sph, idx, 0)
         sph = scene.spheres
-        o = jnp.einsum("ij,j->i", sph.w2o_l[i], ro) + sph.w2o_t[i]
-        d = jnp.einsum("ij,j->i", sph.w2o_l[i], rd)
+        from ..core.vec import matvec3
+        o = matvec3(sph.w2o_l[i], ro) + sph.w2o_t[i]
+        d = matvec3(sph.w2o_l[i], rd)
         a = jnp.sum(d * d)
         b = 2.0 * jnp.sum(d * o)
         c = jnp.sum(o * o) - 1.0
