@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["icosphere", "displaced_blob", "write_ply", "write_stl"]
+__all__ = ["icosphere", "displaced_blob", "displaced_grid", "write_ply",
+           "write_stl"]
 
 
 def icosphere(subdivisions: int = 3) -> tuple[np.ndarray, np.ndarray]:
@@ -69,6 +70,38 @@ def displaced_blob(subdivisions: int = 4, amplitude: float = 0.25,
         disp += (amplitude / (2.0 ** o)) * np.sin(v @ k.T + phase).sum(axis=1) / 3.0
     v = v * (1.0 + disp[:, None]).astype(np.float32)
     return v.astype(np.float32), f
+
+
+def displaced_grid(n: int, extent: float = 1000.0, amplitude: float = 120.0,
+                   seed: int = 11, octaves: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """n×n heightfield grid with multi-octave sinusoidal displacement →
+    (vertices [n²,3] f32, faces [2(n-1)²,3] i64), centered at the origin in
+    xz, y up.
+
+    Triangle count is exactly 2(n-1)²: n=3801 → 28.88M, the lucy.ply-class
+    stress size (SURVEY §6; /root/reference/scenes/lucy.sp) that the
+    reference scenes point at but don't ship.  Deterministic in ``seed``.
+    """
+    xs = np.linspace(-extent, extent, n, dtype=np.float64)
+    X, Z = np.meshgrid(xs, xs, indexing="ij")
+    rng = np.random.RandomState(seed)
+    Y = np.zeros_like(X)
+    for o in range(octaves):
+        freq = (2.0 ** o) * np.pi / extent
+        kx, kz = rng.normal(size=2) * freq
+        phase = rng.uniform(0, 2 * np.pi)
+        Y += (amplitude / (1.6 ** o)) * np.sin(kx * X + kz * Z + phase)
+    v = np.stack([X, Y, Z], axis=-1).reshape(-1, 3).astype(np.float32)
+
+    ii, jj = np.meshgrid(np.arange(n - 1, dtype=np.int64),
+                         np.arange(n - 1, dtype=np.int64), indexing="ij")
+    q00 = (ii * n + jj).reshape(-1)
+    q10 = q00 + n
+    q01 = q00 + 1
+    q11 = q10 + 1
+    faces = np.concatenate([np.stack([q00, q10, q11], axis=1),
+                            np.stack([q00, q11, q01], axis=1)])
+    return v, faces
 
 
 def write_ply(path, vertices: np.ndarray, faces: np.ndarray) -> None:

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..scene.types import Scene
-from .mesh import make_ray_mesh, pad_to_multiple
+from .mesh import CHUNK_RAYS_PER_DEVICE, make_ray_mesh, pad_to_multiple
 
 __all__ = ["init_distributed", "render_image_multihost"]
 
@@ -69,12 +69,20 @@ def _global_from_computed(mesh, np_arr) -> jax.Array:
 
 def render_image_multihost(scene: Scene, spp: int, key,
                            integrator: str | None = None,
-                           mesh=None) -> np.ndarray:
+                           mesh=None, chunk_rays: int | None = None,
+                           spp_offset: int = 0) -> np.ndarray:
     """Full-frame render across all processes → replicated numpy [H, W, 3].
 
     Every process must pass the same scene (deterministic parse/build) and
     the same key.  Pixel rows are sharded over the global mesh; the final
     film is all-gathered so each process returns the complete image.
+
+    Like the single-process path (mesh.py), large frames render in equal
+    fixed-shape chunks of ``chunk_rays`` pixels per device — one compiled
+    program serves any resolution and per-host memory stays bounded (an
+    elf/lucy-class 1350×2000 frame is 2.7M rays; unchunked while-loop state
+    blows HBM near ~1M).  ``spp_offset`` renders absolute sample indices
+    [offset, offset+spp), so progressive multihost passes compose exactly.
     """
     from jax.experimental import multihost_utils
 
@@ -88,12 +96,7 @@ def render_image_multihost(scene: Scene, spp: int, key,
     xs_all = xs_g.reshape(-1)
     ys_all = ys_g.reshape(-1)
     n = xs_all.size
-    n_pad = pad_to_multiple(n, n_dev)
-    xs_all = np.pad(xs_all, (0, n_pad - n))
-    ys_all = np.pad(ys_all, (0, n_pad - n))
 
-    xs = _global_from_computed(mesh, xs_all)
-    ys = _global_from_computed(mesh, ys_all)
     gscene = jax.tree_util.tree_map(lambda a: _global_from_replicated(mesh, a),
                                     scene)
     if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key):
@@ -104,6 +107,22 @@ def render_image_multihost(scene: Scene, spp: int, key,
 
     fn = jax.jit(render_rays, static_argnames=("spp", "integrator"),
                  out_shardings=NamedSharding(mesh, P("rays")))
-    flat = fn(gscene, xs, ys, spp=spp, key=gkey, integrator=integrator)
-    full = multihost_utils.process_allgather(flat, tiled=True)
-    return np.asarray(full)[:n].reshape(h, w, 3)
+    s0 = jnp.asarray(spp_offset, jnp.int32)
+
+    chunk = (chunk_rays or CHUNK_RAYS_PER_DEVICE) * n_dev
+    n_pad = pad_to_multiple(n, n_dev if n <= chunk else chunk)
+    xs_all = np.pad(xs_all, (0, n_pad - n))
+    ys_all = np.pad(ys_all, (0, n_pad - n))
+
+    pieces = []
+    for c0 in range(0, n_pad, chunk):
+        xs = _global_from_computed(mesh, xs_all[c0:c0 + chunk])
+        ys = _global_from_computed(mesh, ys_all[c0:c0 + chunk])
+        flat = fn(gscene, xs, ys, spp=spp, key=gkey, integrator=integrator,
+                  spp_offset=s0)
+        # gather each chunk's film shards host-side: bounded device memory,
+        # and every process assembles the same full frame
+        pieces.append(np.asarray(
+            multihost_utils.process_allgather(flat, tiled=True)))
+    full = np.concatenate(pieces) if len(pieces) > 1 else pieces[0]
+    return full[:n].reshape(h, w, 3)

@@ -103,14 +103,25 @@ def _internal_visit(rows, buf, rep, rox, roy, roz, ivx, ivy, ivz,
     return refs, keys
 
 
-def _leaf_tri(rows, buf, k, rdx, rdy, rdz, rox, roy, roz, tmn, limit):
+def _leaf_meta(rows, buf):
+    """Leaf row metadata: (base tri index i32, count i32).
+
+    Triangle indices are base + lane (contiguous reordered range); the base
+    is stored split into two small exact floats so scenes past 2^24
+    triangles (lucy-class) index correctly — see scene/bvh.py."""
+    base = (rows[buf, 9 * K + 1].astype(jnp.int32) << 12) \
+        + rows[buf, 9 * K].astype(jnp.int32)
+    count = rows[buf, 9 * K + 2].astype(jnp.int32)
+    return base, count
+
+
+def _leaf_tri(rows, buf, k, count, rdx, rdy, rdz, rox, roy, roz, tmn, limit):
     """Shirley test of leaf triangle k against the packet (Triangle.h:97-162).
 
-    Returns (t, beta, gamma, hit [8,128], fidx scalar)."""
+    Returns (t, beta, gamma, hit [8,128])."""
     v0x, v0y, v0z = rows[buf, k], rows[buf, K + k], rows[buf, 2 * K + k]
     A, B, C = rows[buf, 3 * K + k], rows[buf, 4 * K + k], rows[buf, 5 * K + k]
     D, E, F = rows[buf, 6 * K + k], rows[buf, 7 * K + k], rows[buf, 8 * K + k]
-    fidx = rows[buf, 9 * K + k]
     G, H, I = rdx, rdy, rdz
     J = v0x - rox
     Kk = v0y - roy
@@ -126,11 +137,11 @@ def _leaf_tri(rows, buf, k, rdx, rdy, rdz, rox, roy, roz, tmn, limit):
     BLKC = B * L - Kk * C
     gamma = (I * AKJB + H * JCAL + G * BLKC) / safe
     t = -(F * AKJB + E * JCAL + D * BLKC) / safe
-    hit = ((denom != 0.0) & (fidx >= 0.0)
+    hit = ((denom != 0.0) & (k < count)
            & (beta > 0.0) & (beta < 1.0)
            & (gamma > 0.0) & (beta + gamma < 1.0)
            & (t >= tmn) & (t <= limit))
-    return t, beta, gamma, hit, fidx
+    return t, beta, gamma, hit
 
 
 def _safe_inv(d):
@@ -157,7 +168,7 @@ def _closest_kernel(rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r, tmn_r, tmx_r,
     rep = (rox[0, 0], roy[0, 0], roz[0, 0], ivx[0, 0], ivy[0, 0], ivz[0, 0])
 
     t_out[0] = tmx                     # best-t front, seeded with t_max
-    i_out[0] = jnp.full((SUB, LANES), -1.0, jnp.float32)
+    i_out[0] = jnp.full((SUB, LANES), -1, jnp.int32)
     b_out[0] = jnp.zeros((SUB, LANES), jnp.float32)
     g_out[0] = jnp.zeros((SUB, LANES), jnp.float32)
 
@@ -184,12 +195,14 @@ def _closest_kernel(rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r, tmn_r, tmx_r,
             def _():
                 _row_dma(records, rows, sem, nbuf, nref).start()
 
+            base, count = _leaf_meta(rows, buf)
             best_t, best_i = t_out[0], i_out[0]
             best_b, best_g = b_out[0], g_out[0]
             for k in range(K):
-                t, beta, gamma, hit, fidx = _leaf_tri(
-                    rows, buf, k, rdx, rdy, rdz, rox, roy, roz, tmn, best_t)
-                best_i = jnp.where(hit, fidx, best_i)
+                t, beta, gamma, hit = _leaf_tri(
+                    rows, buf, k, count, rdx, rdy, rdz, rox, roy, roz,
+                    tmn, best_t)
+                best_i = jnp.where(hit, base + k, best_i)
                 best_b = jnp.where(hit, beta, best_b)
                 best_g = jnp.where(hit, gamma, best_g)
                 best_t = jnp.where(hit, t, best_t)
@@ -268,10 +281,11 @@ def _anyhit_kernel(rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r, tmn_r, tmx_r,
             def _():
                 _row_dma(records, rows, sem, nbuf, nref).start()
 
+            _, count = _leaf_meta(rows, buf)
             occ = occ_out[0]
             for k in range(K):
-                _, _, _, hit, _ = _leaf_tri(rows, buf, k, rdx, rdy, rdz,
-                                            rox, roy, roz, tmn, live_limit)
+                _, _, _, hit = _leaf_tri(rows, buf, k, count, rdx, rdy, rdz,
+                                         rox, roy, roz, tmn, live_limit)
                 occ = jnp.where(hit, 1.0, occ)
             occ_out[0] = occ
 
@@ -353,14 +367,15 @@ def packet_closest(records: Array, ro: Array, rd: Array, t_min: Array,
            _to_packets(t_min, n_pad, jnp.inf), _to_packets(t_max, n_pad, -jnp.inf)]
     grid = n_pad // PACKET
     shp = jax.ShapeDtypeStruct((grid, SUB, LANES), jnp.float32)
+    shp_i = jax.ShapeDtypeStruct((grid, SUB, LANES), jnp.int32)
     out_blk = pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     t, fi, b, g = pl.pallas_call(
         _closest_kernel,
         grid=(grid,),
-        in_specs=_ray_specs(8) + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=_ray_specs(8) + [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
         out_specs=[out_blk] * 4,
-        out_shape=[shp] * 4,
+        out_shape=[shp, shp_i, shp, shp],
         scratch_shapes=_SCRATCH,
         interpret=interpret,
     )(*ins, records)
@@ -368,9 +383,9 @@ def packet_closest(records: Array, ro: Array, rd: Array, t_min: Array,
     fi = fi.reshape(-1)[:n]
     beta = b.reshape(-1)[:n]
     gamma = g.reshape(-1)[:n]
-    valid = fi >= 0.0
+    valid = fi >= 0
     t = jnp.where(valid, t, jnp.inf)
-    return t, fi.astype(jnp.int32), beta, gamma, valid
+    return t, fi, beta, gamma, valid
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -394,7 +409,7 @@ def packet_anyhit(records: Array, ro: Array, rd: Array, t_min: Array,
     occ = pl.pallas_call(
         _anyhit_kernel,
         grid=(grid,),
-        in_specs=_ray_specs(9) + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=_ray_specs(9) + [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
         out_specs=out_blk,
         out_shape=shp,
         scratch_shapes=_SCRATCH,

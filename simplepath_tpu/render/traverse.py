@@ -194,7 +194,12 @@ def _visit_leaf(rec: Array, ro, rd, t_min, cur_t_max):
     v0x, v0y, v0z = rec[0:K], rec[K:2 * K], rec[2 * K:3 * K]
     A, B, C = rec[3 * K:4 * K], rec[4 * K:5 * K], rec[5 * K:6 * K]
     D, E, F = rec[6 * K:7 * K], rec[7 * K:8 * K], rec[8 * K:9 * K]
-    tri_idx = rec[9 * K:10 * K].astype(jnp.int32)   # exact f32 values
+    # leaf triangles are a contiguous range: index = base + lane (scene/bvh.py;
+    # base split into two exact small floats lifts the 2^24 triangle ceiling)
+    base = (rec[9 * K + 1].astype(jnp.int32) << 12) + rec[9 * K].astype(jnp.int32)
+    lane = jnp.arange(K, dtype=jnp.int32)
+    tri_idx = base + lane
+    in_leaf = lane < rec[9 * K + 2].astype(jnp.int32)
     G, H, I = rd[0], rd[1], rd[2]
     J = v0x - ro[0]
     K = v0y - ro[1]
@@ -211,7 +216,7 @@ def _visit_leaf(rec: Array, ro, rd, t_min, cur_t_max):
     BLKC = B * L - K * C
     gamma = (I * AKJB + H * JCAL + G * BLKC) / safe_denom
     t = -(F * AKJB + E * JCAL + D * BLKC) / safe_denom
-    valid = ((denom != 0.0) & (tri_idx >= 0)
+    valid = ((denom != 0.0) & in_leaf
              & (beta > 0.0) & (beta < 1.0)
              & (gamma > 0.0) & (beta + gamma < 1.0)
              & (t >= t_min) & (t <= cur_t_max))

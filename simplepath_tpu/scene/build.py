@@ -18,7 +18,7 @@ import numpy as np
 
 from ..io.pfm import read_pfm
 from ..render.camera import make_perspective_camera
-from .bvh import make_bvh_arrays
+from .bvh import make_packed_records
 from .parser import ParsedScene, parse_sp
 from .ply import bake_mesh, read_ply
 from .stl import read_stl
@@ -147,6 +147,73 @@ def _build_env(light, base_dir: str) -> tuple[int, EnvLightArrays]:
     return ENV_IBL, env
 
 
+def _build_geometry(mesh_jobs, use_bvh: bool | None) -> dict:
+    """Mesh files → reordered triangle tables + packed BVH records.
+
+    This is the expensive host-side step (PLY/STL parse, world bake, wide-BVH
+    build, record packing) and is served from the persistent geometry cache
+    when possible (scene/cache.py) — the reference rebuilds every run.
+
+    Returns dict(records|None, v0, v1, v2, n0, n1, n2, material_id).
+    """
+    from .cache import geometry_cache_key, load_geometry, save_geometry
+
+    if not mesh_jobs:
+        z = np.zeros((0, 3), np.float32)
+        return dict(records=None, v0=z, v1=z, v2=z, n0=z, n1=z, n2=z,
+                    material_id=np.zeros((0,), np.int32))
+
+    key = None
+    base_dir = os.path.dirname(os.path.abspath(mesh_jobs[0][0]))
+    if use_bvh is not False:
+        try:
+            key = geometry_cache_key(mesh_jobs)
+        except OSError:
+            key = None
+        if key is not None:
+            cached = load_geometry(base_dir, key)
+            if cached is not None:
+                return cached
+
+    tri_v, tri_n, tri_m = [], [], []
+    for path, linear, translation, mid in mesh_jobs:
+        ext = os.path.splitext(path)[1].lower()
+        mesh = read_ply(path) if ext == ".ply" else read_stl(path)
+        mesh = bake_mesh(mesh, linear, translation)
+        idx = mesh.indices
+        tri_v.append((mesh.vertices[idx[:, 0]], mesh.vertices[idx[:, 1]],
+                      mesh.vertices[idx[:, 2]]))
+        tri_n.append((mesh.normals[idx[:, 0]], mesh.normals[idx[:, 1]],
+                      mesh.normals[idx[:, 2]]))
+        tri_m.append(np.full(idx.shape[0], mid, np.int32))
+
+    v0 = np.concatenate([t[0] for t in tri_v])
+    v1 = np.concatenate([t[1] for t in tri_v])
+    v2 = np.concatenate([t[2] for t in tri_v])
+    n0 = np.concatenate([t[0] for t in tri_n])
+    n1 = np.concatenate([t[1] for t in tri_n])
+    n2 = np.concatenate([t[2] for t in tri_n])
+    tm = np.concatenate(tri_m)
+
+    num_tris = v0.shape[0]
+    if use_bvh is None:
+        use_bvh = num_tris >= BVH_MIN_TRIS
+    records = None
+    if use_bvh and num_tris > 0:
+        lo = np.minimum(np.minimum(v0, v1), v2)
+        hi = np.maximum(np.maximum(v0, v1), v2)
+        records, order = make_packed_records(lo, hi, v0, v1, v2)
+        v0, v1, v2 = v0[order], v1[order], v2[order]
+        n0, n1, n2 = n0[order], n1[order], n2[order]
+        tm = tm[order]
+
+    out = dict(records=records, v0=v0, v1=v1, v2=v2, n0=n0, n1=n1, n2=n2,
+               material_id=tm)
+    if key is not None and records is not None:
+        save_geometry(base_dir, key, out)
+    return out
+
+
 def build_scene(ps: ParsedScene, *, cli_integrator: str | None = None,
                 use_bvh: bool | None = None) -> Scene:
     materials, mat_index = _flatten_materials(ps)
@@ -158,7 +225,7 @@ def build_scene(ps: ParsedScene, *, cli_integrator: str | None = None,
 
     sph_x, sph_m = [], []
     pl_x, pl_m = [], []
-    tri_v, tri_n, tri_m = [], [], []
+    mesh_jobs = []  # (path, linear, translation, material_id)
 
     for g in ps.geometry:
         if g.kind == "sphere":
@@ -173,20 +240,11 @@ def build_scene(ps: ParsedScene, *, cli_integrator: str | None = None,
                 continue
             path = os.path.join(ps.base_dir, g.mesh_path)
             ext = os.path.splitext(path)[1].lower()
-            if ext == ".ply":
-                mesh = read_ply(path)
-            elif ext == ".stl":
-                mesh = read_stl(path)
-            else:
+            if ext not in (".ply", ".stl"):
                 logger.error("Unable to open file format for %s", ext)
                 continue
-            mesh = bake_mesh(mesh, g.transform[0], g.transform[1])
-            idx = mesh.indices
-            tri_v.append((mesh.vertices[idx[:, 0]], mesh.vertices[idx[:, 1]],
-                          mesh.vertices[idx[:, 2]]))
-            tri_n.append((mesh.normals[idx[:, 0]], mesh.normals[idx[:, 1]],
-                          mesh.normals[idx[:, 2]]))
-            tri_m.append(np.full(idx.shape[0], mat_id(g.material), np.int32))
+            mesh_jobs.append((path, g.transform[0], g.transform[1],
+                              mat_id(g.material)))
 
     def pack_xform(cls, xs, ms):
         if not xs:
@@ -202,34 +260,17 @@ def build_scene(ps: ParsedScene, *, cli_integrator: str | None = None,
     spheres = pack_xform(SphereArrays, sph_x, sph_m)
     planes = pack_xform(PlaneArrays, pl_x, pl_m)
 
-    if tri_v:
-        v0 = np.concatenate([t[0] for t in tri_v])
-        v1 = np.concatenate([t[1] for t in tri_v])
-        v2 = np.concatenate([t[2] for t in tri_v])
-        n0 = np.concatenate([t[0] for t in tri_n])
-        n1 = np.concatenate([t[1] for t in tri_n])
-        n2 = np.concatenate([t[2] for t in tri_n])
-        tm = np.concatenate(tri_m)
-    else:
-        v0 = v1 = v2 = n0 = n1 = n2 = np.zeros((0, 3), np.float32)
-        tm = np.zeros((0,), np.int32)
-
-    num_tris = v0.shape[0]
-    if use_bvh is None:
-        use_bvh = num_tris >= BVH_MIN_TRIS
+    geom = _build_geometry(mesh_jobs, use_bvh)
+    num_tris = geom["v0"].shape[0]
     bvh = None
-    if use_bvh and num_tris > 0:
-        lo = np.minimum(np.minimum(v0, v1), v2)
-        hi = np.maximum(np.maximum(v0, v1), v2)
-        bvh, order = make_bvh_arrays(lo, hi, v0, v1, v2)
-        v0, v1, v2 = v0[order], v1[order], v2[order]
-        n0, n1, n2 = n0[order], n1[order], n2[order]
-        tm = tm[order]
+    if geom["records"] is not None:
+        bvh = BVHArrays(records=jnp.asarray(geom["records"]))
 
     triangles = TriangleArrays(
-        v0=jnp.asarray(v0), v1=jnp.asarray(v1), v2=jnp.asarray(v2),
-        n0=jnp.asarray(n0), n1=jnp.asarray(n1), n2=jnp.asarray(n2),
-        material_id=jnp.asarray(tm),
+        v0=jnp.asarray(geom["v0"]), v1=jnp.asarray(geom["v1"]),
+        v2=jnp.asarray(geom["v2"]), n0=jnp.asarray(geom["n0"]),
+        n1=jnp.asarray(geom["n1"]), n2=jnp.asarray(geom["n2"]),
+        material_id=jnp.asarray(geom["material_id"]),
     )
 
     sl_x, sl_rad = [], []

@@ -32,8 +32,18 @@ gather path and the Pallas kernel's scalar reads consume them directly
     [  0:36]  v0 SoA: x*12, y*12, z*12
     [ 36:72]  e1 = v0-v1 SoA   (the Shirley A,B,C terms, Triangle.h:107-112)
     [ 72:108] e2 = v0-v2 SoA   (the D,E,F terms)
-    [108:120] triangle index into the reordered table (f32 value; -1 empty)
-    [120:128] pad
+    [108]     base_lo: leaf's first triangle index mod 2^12  (exact f32)
+    [109]     base_hi: leaf's first triangle index div 2^12  (exact f32)
+    [110]     count: triangles in this leaf (1..LEAF_SIZE)
+    [111:128] pad
+
+Because the triangle table is REORDERED so each leaf owns a contiguous range,
+lane k's triangle index is simply base + k.  Storing the base split into
+two small exact floats (instead of 12 per-lane f32 indices) lifts the old
+2^24 triangle-count ceiling: indices are reassembled in int32 on device
+(supports up to 2^36 triangles — far past lucy's 28M).  Node ROW refs stay
+exact f32 (row count ~T/10 stays well under 2^24 for any scene that fits
+in HBM; pack asserts enforce it).
 """
 
 from __future__ import annotations
@@ -43,7 +53,7 @@ import numpy as np
 from .types import BVHArrays
 
 __all__ = ["build_bvh_wide", "pack_records", "make_bvh_arrays",
-           "LEAF_SIZE", "WIDTH", "RECORD_WIDTH"]
+           "make_packed_records", "LEAF_SIZE", "WIDTH", "RECORD_WIDTH"]
 
 LEAF_SIZE = 12  # record rows fit 12 triangles (reference uses 4,
                 # BVHAccelerator.h:211 — topology is ours to choose)
@@ -138,10 +148,13 @@ def build_bvh_wide(tri_lo: np.ndarray, tri_hi: np.ndarray,
 NATIVE_MIN_TRIS = 20_000  # below this the numpy builder is fast enough
 
 
+BASE_SHIFT = 12  # leaf base index split: base = hi * 2^12 + lo, both exact f32
+
+
 def pack_records(nodes: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                  leaf_cap: int = LEAF_SIZE) -> np.ndarray:
     """Flatten (child_box, child_meta) + REORDERED triangles into the unified
-    f32[M, 64] record table (layout in the module docstring).
+    f32[M, 128] record table (layout in the module docstring).
 
     Internal rows come first (root = row 0, ref +1); leaf rows follow.
     """
@@ -152,13 +165,13 @@ def pack_records(nodes: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
 
     counts = child_meta[:, :, 2]
     leaf_mask = counts > 0
-    leaf_first = child_meta[:, :, 1][leaf_mask]           # [L]
-    leaf_count = counts[leaf_mask]                        # [L]
+    leaf_first = child_meta[:, :, 1][leaf_mask].astype(np.int64)  # [L]
+    leaf_count = counts[leaf_mask]                                # [L]
     assert leaf_count.max(initial=0) <= leaf_cap
     L = leaf_first.shape[0]
     M = Nn + L
-    assert M < (1 << 24), "record refs stored as exact f32 (row count limit)"
-    assert v0.shape[0] < (1 << 24), "tri indices stored as exact f32"
+    assert M < (1 << 24), "record ROW refs stored as exact f32 (row count limit)"
+    assert v0.shape[0] < (1 << (24 + BASE_SHIFT)), "leaf base_hi must stay exact f32"
     rec = np.zeros((M, RECORD_WIDTH), np.float32)
 
     # child refs: 0 empty, +row+1 internal, -(row+1) leaf (exact f32 values)
@@ -174,7 +187,7 @@ def pack_records(nodes: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
 
     if L:
         K = leaf_cap
-        lane = np.arange(K, dtype=np.int32)
+        lane = np.arange(K, dtype=np.int64)
         idx = leaf_first[:, None] + lane[None, :]         # [L, K]
         valid = lane[None, :] < leaf_count[:, None]
         idxc = np.where(valid, idx, 0)
@@ -185,21 +198,21 @@ def pack_records(nodes: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
             rec[Nn:, axis * K:axis * K + K] = V0[:, :, axis]
             rec[Nn:, 3 * K + axis * K:4 * K + axis * K] = E1[:, :, axis]
             rec[Nn:, 6 * K + axis * K:7 * K + axis * K] = E2[:, :, axis]
-        rec[Nn:, 9 * K:10 * K] = np.where(valid, idx, -1).astype(np.float32)
+        rec[Nn:, 9 * K] = (leaf_first & ((1 << BASE_SHIFT) - 1)).astype(np.float32)
+        rec[Nn:, 9 * K + 1] = (leaf_first >> BASE_SHIFT).astype(np.float32)
+        rec[Nn:, 9 * K + 2] = leaf_count.astype(np.float32)
     return rec
 
 
-def make_bvh_arrays(tri_lo: np.ndarray, tri_hi: np.ndarray,
-                    v0: np.ndarray, v1: np.ndarray,
-                    v2: np.ndarray) -> tuple[BVHArrays, np.ndarray]:
-    """Build the wide BVH and pack the unified record table; also returns
-    prim_order so the caller can reorder the triangle table itself (leaves
-    then index contiguously).
+def make_packed_records(tri_lo: np.ndarray, tri_hi: np.ndarray,
+                        v0: np.ndarray, v1: np.ndarray,
+                        v2: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Build the wide BVH and pack the unified record table (host numpy);
+    also returns prim_order so the caller can reorder the triangle table
+    itself (leaves then index contiguously).
 
     Uses the native C++ builder for large meshes (lucy-class inputs take
     minutes through the Python builder), numpy otherwise/as fallback."""
-    import jax.numpy as jnp
-
     nodes = None
     if tri_lo.shape[0] >= NATIVE_MIN_TRIS:
         from ..native import native_build_bvh_wide
@@ -210,5 +223,14 @@ def make_bvh_arrays(tri_lo: np.ndarray, tri_hi: np.ndarray,
             nodes, order = result
     if nodes is None:
         nodes, order = build_bvh_wide(tri_lo, tri_hi)
-    records = pack_records(nodes, v0[order], v1[order], v2[order])
+    return pack_records(nodes, v0[order], v1[order], v2[order]), order
+
+
+def make_bvh_arrays(tri_lo: np.ndarray, tri_hi: np.ndarray,
+                    v0: np.ndarray, v1: np.ndarray,
+                    v2: np.ndarray) -> tuple[BVHArrays, np.ndarray]:
+    """make_packed_records + device upload (tests and ad-hoc scenes)."""
+    import jax.numpy as jnp
+
+    records, order = make_packed_records(tri_lo, tri_hi, v0, v1, v2)
     return BVHArrays(records=jnp.asarray(records)), order

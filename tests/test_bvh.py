@@ -121,3 +121,60 @@ def test_native_builder_matches_numpy(mesh):
     assert (counts <= LEAF_SIZE).all()
     # leaves cover all prims
     assert counts.sum() == len(f)
+
+
+def test_leaf_base_past_2pow24(mesh):
+    """Triangle indices past 2^24 must survive the leaf record format.
+
+    Regression: round-2 stored per-lane triangle indices as exact f32, which
+    silently caps scenes at 16.7M triangles (lucy is ~28M).  The format now
+    stores a per-leaf base index split into two small exact floats and
+    reassembles base + lane in int32 on device; both traversal paths must
+    return the exact large index.
+    """
+    from simplepath_tpu.render.pallas_traverse import packet_closest
+    from simplepath_tpu.render.traverse import _visit_leaf
+    from simplepath_tpu.scene.bvh import BASE_SHIFT
+
+    v, f = mesh
+    v0 = v[f[:, 0]].astype(np.float32)
+    v1 = v[f[:, 1]].astype(np.float32)
+    v2 = v[f[:, 2]].astype(np.float32)
+    lo = np.minimum(np.minimum(v0, v1), v2)
+    hi = np.maximum(np.maximum(v0, v1), v2)
+    bvh, order = make_bvh_arrays(lo, hi, v0, v1, v2)
+    rec = np.asarray(bvh.records).copy()
+
+    # shift every leaf's base index up by BIG (as if this mesh's triangles
+    # sat at the top of a 28M-triangle table)
+    BIG = (1 << 24) + 54321
+    is_leaf = rec[:, 110] > 0
+    base = (rec[is_leaf, 109].astype(np.int64) << BASE_SHIFT) \
+        + rec[is_leaf, 108].astype(np.int64) + BIG
+    rec2 = rec.copy()
+    rec2[is_leaf, 108] = (base & ((1 << BASE_SHIFT) - 1)).astype(np.float32)
+    rec2[is_leaf, 109] = (base >> BASE_SHIFT).astype(np.float32)
+
+    ro, rd = random_rays(256, seed=2)
+    tmin = jnp.full(ro.shape[0], 1e-3)
+    tmax = jnp.full(ro.shape[0], jnp.inf)
+    t1, fi1, b1, g1, val1 = packet_closest(jnp.asarray(rec), ro, rd, tmin,
+                                           tmax, interpret=True)
+    t2, fi2, b2, g2, val2 = packet_closest(jnp.asarray(rec2), ro, rd, tmin,
+                                           tmax, interpret=True)
+    val1, val2 = np.asarray(val1), np.asarray(val2)
+    np.testing.assert_array_equal(val1, val2)
+    assert val1.any()
+    np.testing.assert_array_equal(np.asarray(fi2)[val2],
+                                  np.asarray(fi1)[val1] + BIG)
+    np.testing.assert_allclose(np.asarray(t1)[val1], np.asarray(t2)[val2])
+
+    # XLA leaf visit: same exact index arithmetic
+    leaf_row = int(np.nonzero(is_leaf)[0][0])
+    row = jnp.asarray(rec2[leaf_row])
+    count = int(rec2[leaf_row, 110])
+    base0 = (int(rec2[leaf_row, 109]) << BASE_SHIFT) + int(rec2[leaf_row, 108])
+    _, _, _, _, tri_idx = _visit_leaf(row, jnp.zeros(3), jnp.asarray([0., 0., 1.]),
+                                      jnp.asarray(1e-3), jnp.asarray(np.inf))
+    np.testing.assert_array_equal(np.asarray(tri_idx)[:count],
+                                  base0 + np.arange(count))

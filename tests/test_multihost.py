@@ -15,7 +15,6 @@ import sys
 import tempfile
 
 import numpy as np
-import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -79,6 +78,11 @@ scene = build_scene(parse_sp(open(os.path.join(out, "scene.sp")).read()))
 img = render_image_multihost(scene, spp=2, key=jax.random.PRNGKey(0))
 import numpy as np
 np.save(os.path.join(out, f"img_{pid}.npy"), img)
+# chunked path (3 chunks of 128 rays over the 384-pixel frame) must compose
+# to the identical film — this is how lucy/elf-class frames stay in memory
+img_c = render_image_multihost(scene, spp=2, key=jax.random.PRNGKey(0),
+                               chunk_rays=32)
+np.save(os.path.join(out, f"img_chunked_{pid}.npy"), img_c)
 """
 
 
@@ -88,8 +92,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(600)
 def test_two_process_render_matches_single_process():
+    # (no pytest-timeout plugin on this rig; the communicate(timeout=560)
+    # below is the real watchdog)
     with tempfile.TemporaryDirectory() as td:
         with open(os.path.join(td, "scene.sp"), "w") as f:
             f.write(SCENE)
@@ -111,6 +116,12 @@ def test_two_process_render_matches_single_process():
         img1 = np.load(os.path.join(td, "img_1.npy"))
         # both processes gather the same full film
         np.testing.assert_array_equal(img0, img1)
+
+        # ray-chunked multihost render composes to the same film
+        img0c = np.load(os.path.join(td, "img_chunked_0.npy"))
+        img1c = np.load(os.path.join(td, "img_chunked_1.npy"))
+        np.testing.assert_array_equal(img0c, img1c)
+        np.testing.assert_allclose(img0c, img0, atol=2e-6)
 
         # equals the single-process render
         import jax

@@ -176,3 +176,52 @@ class TestAux:
         f2, n, meta = load_checkpoint(p)
         np.testing.assert_array_equal(f2, film)
         assert n == 42 and meta["spp_target"] == 64
+
+
+class TestGeometryCache:
+    """Persistent geometry cache (scene/cache.py): warm loads must skip the
+    BVH build and reproduce bit-identical scene arrays."""
+
+    SCENE = """version: 1
+scene_parameters {{ output_file_name: "c.pfm" width: 8 height: 8 }}
+perspective_camera {{ origin: 0 0 -3 look_at: 0 0 0 fov: 45 }}
+material_lambertian {{ name: "m" diffuse: 0.5 0.5 0.5 }}
+mesh {{ file: "{ply}" material: "m" translate: 0.1 0.2 0.3 }}
+"""
+
+    def _write(self, tmp_path):
+        from simplepath_tpu.io.meshgen import icosphere, write_ply
+        v, f = icosphere(2)  # 320 tris >= BVH_MIN_TRIS
+        ply = tmp_path / "ball.ply"
+        write_ply(str(ply), v, f)
+        sp = tmp_path / "s.sp"
+        sp.write_text(self.SCENE.format(ply=ply.name))
+        return str(sp)
+
+    def test_roundtrip_identical(self, tmp_path, monkeypatch):
+        from simplepath_tpu import load_scene
+        from simplepath_tpu.scene import cache
+        monkeypatch.setattr(cache, "CACHE_MIN_TRIS", 0)
+        sp = self._write(tmp_path)
+        s1 = load_scene(sp)
+        assert (tmp_path / ".spcache").is_dir()
+        s2 = load_scene(sp)
+        for a, b in [(s1.bvh.records, s2.bvh.records),
+                     (s1.triangles.v0, s2.triangles.v0),
+                     (s1.triangles.n2, s2.triangles.n2),
+                     (s1.triangles.material_id, s2.triangles.material_id)]:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_invalidated_by_mesh_change(self, tmp_path, monkeypatch):
+        import os
+        from simplepath_tpu import load_scene
+        from simplepath_tpu.io.meshgen import icosphere, write_ply
+        from simplepath_tpu.scene import cache
+        monkeypatch.setattr(cache, "CACHE_MIN_TRIS", 0)
+        sp = self._write(tmp_path)
+        s1 = load_scene(sp)
+        v, f = icosphere(3)  # different mesh, same filename
+        write_ply(str(tmp_path / "ball.ply"), v, f)
+        os.utime(str(tmp_path / "ball.ply"))  # ensure mtime moves
+        s2 = load_scene(sp)
+        assert s2.static.num_triangles == len(f) != s1.static.num_triangles

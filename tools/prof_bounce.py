@@ -23,15 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-
-def timeit(fn, *args, iters=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters
+from _prof_util import timeit, vary_keys
 
 
 def main():
@@ -68,13 +60,8 @@ def main():
 
     # ---- view 0: fixed dispatch overhead (tunnel / launch latency)
     trivial = jax.jit(lambda x: x + 1.0)
-    x0 = jnp.zeros(8)
-    trivial(x0).block_until_ready()
-    t0 = time.time()
-    for _ in range(10):
-        trivial(x0).block_until_ready()
-    print(f"dispatch overhead (trivial jit): {(time.time()-t0)/10*1e3:.2f} ms",
-          flush=True)
+    t_triv = timeit(trivial, jnp.zeros(8), iters=10, vary=0)
+    print(f"dispatch overhead (trivial jit): {t_triv*1e3:.2f} ms", flush=True)
 
     # ---- view 1: marginal bounce cost
     fn = jax.jit(render_rays, static_argnames=("spp", "integrator"))
@@ -85,7 +72,7 @@ def main():
         import dataclasses
         sc = dataclasses.replace(
             scene, static=dataclasses.replace(scene.static, max_depth=d))
-        dt = timeit(fn, sc, xs, ys, 1, key)
+        dt = timeit(fn, sc, xs, ys, 1, key, vary_fn=vary_keys(4))
         print(f"max_depth={d:2d}: {dt*1e3:8.1f} ms  (+{(dt-prev)*1e3:7.1f} ms)"
               f"  {n/dt/1e3:8.0f}k paths/s", flush=True)
         prev = dt
@@ -101,16 +88,16 @@ def main():
 
     t_li = timeit(jax.jit(lambda o, d_, a, b: jax.vmap(
         lambda oo, dd, aa, bb: scene_intersect_lights(scene, oo, dd, aa, bb))(
-            o, d_, a, b)), ro, rd, tmin, tmax)
+            o, d_, a, b)), ro, rd, tmin, tmax, vary=2)
     print(f"light-isect:   {t_li*1e3:8.1f} ms", flush=True)
 
     closest = jax.jit(lambda o, d_, a, b: scene_intersect_batch(scene, o, d_, a, b))
-    t_c = timeit(closest, ro, rd, tmin, tmax)
+    t_c = timeit(closest, ro, rd, tmin, tmax, vary=2)
     print(f"closest:       {t_c*1e3:8.1f} ms  ({n/t_c/1e6:.2f} Mray/s)", flush=True)
     hit = closest(ro, rd, tmin, tmax)
 
     anyhit = jax.jit(lambda o, d_, a, b: scene_intersect_p_batch(scene, o, d_, a, b))
-    t_a = timeit(anyhit, ro, rd, tmin, jnp.full(n, 30.0))
+    t_a = timeit(anyhit, ro, rd, tmin, jnp.full(n, 30.0), vary=2)
     print(f"anyhit(prim):  {t_a*1e3:8.1f} ms  ({n/t_a/1e6:.2f} Mray/s)", flush=True)
 
     def shade_sample(hit, ro, rd, keys):
@@ -120,14 +107,16 @@ def main():
         m, ms = _sample_batch(scene, rho, mid, wo_local, keys)
         return p, nrm, onb, m, ms
 
-    t_ss = timeit(jax.jit(shade_sample), hit, ro, rd, keys)
+    t_ss = timeit(jax.jit(shade_sample), hit, ro, rd, keys,
+                  vary_fn=vary_keys(3))
     print(f"shade+sample:  {t_ss*1e3:8.1f} ms", flush=True)
     p, nrm, onb, m, ms = jax.jit(shade_sample)(hit, ro, rd, keys)
 
     nee = jax.jit(lambda p_, n_, wo_, onb_, m_, k_, en_: _estimate_direct_mis_all(
         scene, rho, p_, n_, wo_, onb_, m_, k_, en_))
     en = hit.valid
-    t_nee = timeit(nee, p, nrm, -rd, onb, m, keys, en)
+    t_nee = timeit(nee, p, nrm, -rd, onb, m, keys, en,
+                   vary_fn=vary_keys(5))
     print(f"nee(full):     {t_nee*1e3:8.1f} ms", flush=True)
 
 

@@ -10,12 +10,7 @@ from simplepath_tpu.render import traverse as T
 SCENE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "scenes", "bunny_bench.sp")
 
-def timeit(fn, *args, n=3):
-    r = fn(*args); jax.block_until_ready(r)
-    t0 = time.time()
-    for _ in range(n): r = fn(*args)
-    jax.block_until_ready(r)
-    return (time.time() - t0) / n
+from _prof_util import timeit
 
 N = 65536
 scene = load_scene(SCENE)
@@ -94,5 +89,5 @@ ITERS = 100
 for (g, s, label) in [(True, True, "gather+stack"), (True, False, "gather only"),
                       (False, True, "stack only"), (False, False, "neither")]:
     fn = jax.jit(jax.vmap(lambda o, d, a, b: fixed_iters(o, d, a, b, ITERS, g, s)))
-    dt = timeit(fn, ro, rd, t_min, t_max)
+    dt = timeit(fn, ro, rd, t_min, t_max, vary=2)
     print(f"{label:13s}: {dt/ITERS*1e6:8.1f} us/iter ({dt*1e3:.1f} ms / {ITERS} iters)")

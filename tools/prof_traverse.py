@@ -13,14 +13,7 @@ from simplepath_tpu.render.camera import generate_ray
 SCENE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "scenes", "bunny_bench.sp")
 
-def timeit(fn, *args, n=3):
-    r = fn(*args)
-    jax.block_until_ready(r)
-    t0 = time.time()
-    for _ in range(n):
-        r = fn(*args)
-    jax.block_until_ready(r)
-    return (time.time() - t0) / n
+from _prof_util import timeit
 
 def main():
     N = int(os.environ.get("N", "65536"))
@@ -40,7 +33,7 @@ def main():
     closest = jax.jit(jax.vmap(lambda o, d, a, b: scene_intersect(scene, o, d, a, b)))
     anyhit = jax.jit(jax.vmap(lambda o, d, a, b: scene_intersect_p(scene, o, d, a, b)))
 
-    dt = timeit(closest, ro, rd, t_min, t_max)
+    dt = timeit(closest, ro, rd, t_min, t_max, vary=2)
     print(f"closest(primary): {dt*1e3:.2f} ms  ({N/dt/1e6:.2f} Mrays/s)")
 
     # incoherent rays: random dirs from random points in the scene bbox
@@ -48,10 +41,10 @@ def main():
     ro2 = jax.random.uniform(k, (N, 3), minval=-3, maxval=3)
     d = jax.random.normal(jax.random.PRNGKey(1), (N, 3))
     rd2 = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    dt = timeit(closest, ro2, rd2, t_min, t_max)
+    dt = timeit(closest, ro2, rd2, t_min, t_max, vary=2)
     print(f"closest(incoherent): {dt*1e3:.2f} ms  ({N/dt/1e6:.2f} Mrays/s)")
 
-    dt = timeit(anyhit, ro2, rd2, t_min, jnp.full((N,), 10.0))
+    dt = timeit(anyhit, ro2, rd2, t_min, jnp.full((N,), 10.0), vary=2)
     print(f"anyhit(incoherent): {dt*1e3:.2f} ms  ({N/dt/1e6:.2f} Mrays/s)")
 
     # isolated gather: records[random rows] per ray per "iteration"
@@ -64,7 +57,7 @@ def main():
             rows = records[(idx + i * 7919) % M]
             return acc + rows.sum(axis=-1)
         return jax.lax.fori_loop(0, 100, body, jnp.zeros((N,)))
-    dt = timeit(gather_loop, idx)
+    dt = timeit(gather_loop, idx, vary_fn=lambda i, a: (jnp.roll(a[0], i) + i,))
     print(f"gather 100 iters: {dt*1e3:.2f} ms -> {dt/100*1e6:.1f} us/iter "
           f"({N*256*100/dt/1e9:.1f} GB/s)")
 

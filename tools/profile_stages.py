@@ -21,14 +21,7 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, *args, iters=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters
+from _prof_util import timeit, vary_keys
 
 
 def main():
@@ -63,25 +56,26 @@ def main():
     tmax = jnp.full(n, jnp.inf)
 
     raygen = jax.jit(lambda xs, ys: generate_ray(scene.camera, xs, ys))
-    print(f"raygen:        {timeit(raygen, xs, ys)*1e3:8.1f} ms")
+    print(f"raygen:        {timeit(raygen, xs, ys, vary=0)*1e3:8.1f} ms")
 
     closest = jax.jit(jax.vmap(lambda o, d, a, b: scene_intersect(scene, o, d, a, b)))
-    t_closest = timeit(closest, ro, rd, tmin, tmax)
+    t_closest = timeit(closest, ro, rd, tmin, tmax, vary=2)
     print(f"closest-hit:   {t_closest*1e3:8.1f} ms  ({n/t_closest/1e6:.2f} Mray/s)")
 
     anyhit = jax.jit(jax.vmap(lambda o, d, a, b: scene_intersect_p(scene, o, d, a, b)))
-    t_any = timeit(anyhit, ro, rd, tmin, jnp.full(n, 100.0))
+    t_any = timeit(anyhit, ro, rd, tmin, jnp.full(n, 100.0), vary=2)
     print(f"any-hit:       {t_any*1e3:8.1f} ms  ({n/t_any/1e6:.2f} Mray/s)")
 
     lightisect = jax.jit(jax.vmap(lambda o, d, a, b: scene_intersect_lights(scene, o, d, a, b)[1]))
-    t_li = timeit(lightisect, ro, rd, tmin, tmax)
+    t_li = timeit(lightisect, ro, rd, tmin, tmax, vary=2)
     print(f"light-isect:   {t_li*1e3:8.1f} ms")
 
     rho = build_rho_tables(scene.materials)
     hits = closest(ro, rd, tmin, tmax)
     shade = jax.jit(jax.vmap(lambda h, o, d: hit_shading(scene, h, o, d),
                              in_axes=(0, 0, 0)))
-    t_sh = timeit(shade, hits, ro, rd)
+    t_sh = timeit(shade, hits, ro, rd,
+                  vary_fn=lambda i, a: (a[0], a[1] + i * 1e-6, a[2]))
     print(f"hit-shading:   {t_sh*1e3:8.1f} ms")
 
     _, nrm, mids = shade(hits, ro, rd)
@@ -92,7 +86,7 @@ def main():
         return material_sample(m, jnp.asarray([0.3, 0.9, 0.1]),
                                u[0], u[1], u)
     mat = jax.jit(jax.vmap(mat_fn))
-    t_mat = timeit(mat, mids, keys)
+    t_mat = timeit(mat, mids, keys, vary_fn=vary_keys(1))
     print(f"material:      {t_mat*1e3:8.1f} ms")
 
     def rng_fn(k):
@@ -101,13 +95,13 @@ def main():
             tot = tot + jax.random.uniform(jax.random.fold_in(k, site))
         return tot
     rngs = jax.jit(jax.vmap(rng_fn))
-    t_rng = timeit(rngs, keys)
+    t_rng = timeit(rngs, keys, vary_fn=vary_keys(0))
     print(f"rng (12 draws):{t_rng*1e3:8.1f} ms")
 
     fn = make_integrator(scene.static.integrator)
     pc = jnp.stack([xs, ys], axis=-1)
     full = jax.jit(lambda o, d, k, p: fn(scene, rho, o, d, k, p))
-    t_full = timeit(full, ro, rd, keys, pc, iters=1)
+    t_full = timeit(full, ro, rd, keys, pc, iters=1, vary_fn=vary_keys(2))
     print(f"full {scene.static.integrator}: {t_full*1e3:8.1f} ms "
           f"({n/t_full/1e3:.1f}k paths/s)")
 
