@@ -136,17 +136,51 @@ def _estimate_direct_mis_all(scene: Scene, rho_tables, p, nrm, wo_world, onb,
         return jnp.zeros((n, 3), jnp.float32)
     neg_inf = jnp.float32(-INF_DISTANCE)
     enabled = jnp.broadcast_to(jnp.asarray(enabled), (n,))
+    has_env = scene.static.env_kind != ENV_NONE
 
     ls, ls_ok = _light_samples_all(scene, p, nrm, keys)   # [nl, N, ...]
 
     ro_flat = jnp.broadcast_to(p[None], (nl, n, 3)).reshape(-1, 3)
     live1 = enabled[None] & ls_ok
-    occluded = scene_intersect_p_batch(
-        scene, ro_flat, ls.wi.reshape(-1, 3), ls.t_min.reshape(-1),
-        jnp.where(live1, ls.t_max, neg_inf).reshape(-1)).reshape(nl, n)
-
     wo_local = jax.vmap(onb_to_local)(onb, wo_world)                  # [N,3]
     wi_local = jax.vmap(lambda w: jax.vmap(onb_to_local)(onb, w))(ls.wi)
+
+    if has_env:
+        # BSDF-sampling strategy (Integrator.cpp:517-536): its material
+        # samples don't depend on the light-strategy occlusion result, so
+        # BOTH strategies' shadow rays go through ONE fused any-hit launch
+        # of 2·nl·N rays below.  The reference gates strategy 2 on the
+        # light sample being unoccluded (early return, :498-505); that gate
+        # moves into strat2_ok after the fact — lanes it disables traverse
+        # uselessly but contribute nothing, so images are identical while
+        # the kernel-launch count per bounce halves.
+        ms_list = []
+        for li in range(nl):
+            _, s_layer, s_lobe, s_2d = _light_sites(li)
+            ms = jax.vmap(lambda m_, wl_, k_: material_sample(
+                m_, wl_, uniform_1d(k_, s_layer), uniform_1d(k_, s_lobe),
+                uniform_2d(k_, s_2d)))(m, wo_local, keys)
+            ms_list.append(ms)
+        ms = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ms_list)
+        ms_ok = (ms.pdf > 0.0) & jnp.any(ms.color != 0.0, axis=-1)    # [nl,N]
+        wi2 = jax.vmap(lambda w: jax.vmap(onb_to_world)(onb, w))(ms.wi)
+        cos2 = jnp.abs(jnp.sum(wi2 * nrm[None], axis=-1))
+        mat_t_min = get_ray_offset(cos2)
+        live2 = enabled[None] & ls_ok & ms_ok
+
+        ro_all = jnp.concatenate([ro_flat, ro_flat])
+        rd_all = jnp.concatenate([ls.wi.reshape(-1, 3), wi2.reshape(-1, 3)])
+        tmn_all = jnp.concatenate([ls.t_min.reshape(-1), mat_t_min.reshape(-1)])
+        tmx_all = jnp.concatenate([
+            jnp.where(live1, ls.t_max, neg_inf).reshape(-1),
+            jnp.where(live2, jnp.float32(INF_DISTANCE), neg_inf).reshape(-1)])
+        occ_all = scene_intersect_p_batch(scene, ro_all, rd_all, tmn_all, tmx_all)
+        occluded = occ_all[:nl * n].reshape(nl, n)
+        blocked = occ_all[nl * n:].reshape(nl, n)
+    else:
+        occluded = scene_intersect_p_batch(
+            scene, ro_flat, ls.wi.reshape(-1, 3), ls.t_min.reshape(-1),
+            jnp.where(live1, ls.t_max, neg_inf).reshape(-1)).reshape(nl, n)
 
     def eval_pdf(wi_l):
         return (jax.vmap(material_eval)(m, wo_local, wi_l),
@@ -158,32 +192,14 @@ def _estimate_direct_mis_all(scene: Scene, rho_tables, p, nrm, wo_world, onb,
     strat1_ok = ls_ok & ~occluded & jnp.any(f != 0.0, axis=-1) & (bsdf_pdf > 0.0)
     total = jnp.where(strat1_ok[..., None], strat1, 0.0).sum(0)
 
-    if scene.static.env_kind == ENV_NONE:
+    if not has_env:
         return total
 
-    # BSDF-sampling strategy (Integrator.cpp:517-536), same flat batching.
     strat2_enabled = ls_ok & ~occluded
-    ms_list = []
-    for li in range(nl):
-        _, s_layer, s_lobe, s_2d = _light_sites(li)
-        ms = jax.vmap(lambda m_, wl_, k_: material_sample(
-            m_, wl_, uniform_1d(k_, s_layer), uniform_1d(k_, s_lobe),
-            uniform_2d(k_, s_2d)))(m, wo_local, keys)
-        ms_list.append(ms)
-    ms = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ms_list)
-    ms_ok = (ms.pdf > 0.0) & jnp.any(ms.color != 0.0, axis=-1)        # [nl,N]
-    wi2 = jax.vmap(lambda w: jax.vmap(onb_to_world)(onb, w))(ms.wi)   # [nl,N,3]
     light_pdf2 = jnp.stack([
         jax.vmap(lambda p_, w_: _light_pdf(scene, li, p_, w_))(p, wi2[li])
         for li in range(nl)])                                         # [nl,N]
     w2 = balance_heuristic_counts(1, ms.pdf, 1, light_pdf2)
-    cos2 = jnp.abs(jnp.sum(wi2 * nrm[None], axis=-1))
-    mat_t_min = get_ray_offset(cos2)
-    live2 = enabled[None] & strat2_enabled & ms_ok
-    blocked = scene_intersect_p_batch(
-        scene, ro_flat, wi2.reshape(-1, 3), mat_t_min.reshape(-1),
-        jnp.where(live2, jnp.float32(INF_DISTANCE), neg_inf).reshape(-1)
-    ).reshape(nl, n)
     env_L = jax.vmap(lambda w: env_light_radiance(
         scene.env, scene.static.env_kind, w))(wi2.reshape(-1, 3)).reshape(nl, n, 3)
     strat2 = ms.color * env_L * (cos2 * w2 / jnp.where(ms.pdf > 0, ms.pdf, 1.0))[..., None]
@@ -286,10 +302,17 @@ def _coherence_order(alive, p, rd, lo, inv_extent):
 
 
 def _scene_sort_bounds(scene: Scene):
-    """(lo, 1/extent) of the triangle soup, for the coherence-sort key."""
+    """(lo, 1/extent) of the triangle soup, for the coherence-sort key.
+
+    Reduces the per-component 1-D arrays (a [T,3] reduce operand would get
+    its 3-dim padded to 128 lanes — see TriangleArrays)."""
     tri = scene.triangles
-    lo = jnp.minimum(jnp.minimum(tri.v0.min(0), tri.v1.min(0)), tri.v2.min(0))
-    hi = jnp.maximum(jnp.maximum(tri.v0.max(0), tri.v1.max(0)), tri.v2.max(0))
+    lo = jnp.stack([jnp.minimum(jnp.minimum(
+        getattr(tri, "v0" + ax).min(), getattr(tri, "v1" + ax).min()),
+        getattr(tri, "v2" + ax).min()) for ax in "xyz"])
+    hi = jnp.stack([jnp.maximum(jnp.maximum(
+        getattr(tri, "v0" + ax).max(), getattr(tri, "v1" + ax).max()),
+        getattr(tri, "v2" + ax).max()) for ax in "xyz"])
     return lo, 1.0 / jnp.maximum(hi - lo, 1e-6)
 
 

@@ -135,7 +135,11 @@ def intersect_triangles(v0: Array, v1: Array, v2: Array, ro: Array, rd: Array,
 
 
 def triangle_normal(tri: TriangleArrays, idx: Array, beta: Array, gamma: Array) -> Array:
-    """Barycentric-interpolated shading normal (Triangle.h:147-154)."""
+    """Barycentric-interpolated shading normal (Triangle.h:147-154).
+
+    Gathers the per-component normal arrays (never a [T,3] operand — see
+    TriangleArrays)."""
     alpha = 1.0 - beta - gamma
-    n = alpha * tri.n0[idx] + beta * tri.n1[idx] + gamma * tri.n2[idx]
+    n = (alpha * tri.gather_row("n0", idx) + beta * tri.gather_row("n1", idx)
+         + gamma * tri.gather_row("n2", idx))
     return normalize(n)

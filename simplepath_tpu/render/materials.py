@@ -61,8 +61,13 @@ PROP_GLOSSY = 2
 PROP_SPECULAR = 4
 PROP_REFLECTIVE = 8
 
-RHO_TABLE_SIZE = 32
-RHO_TABLE_SAMPLES = 32
+# 64 cos-bins x 512 QMC samples: measured max error vs a 400k-sample ground
+# truth is <1% across (roughness, cos_theta_o) — at the old 32x32 the frozen
+# QMC noise + grazing-angle interpolation reached 13% (tests/test_rho_weights
+# cross-validates against the reference's 16-sample MC weighting).  The
+# build is one vectorized [S,K,M] evaluation per render — negligible.
+RHO_TABLE_SIZE = 64
+RHO_TABLE_SAMPLES = 512
 
 
 class MatSample(NamedTuple):

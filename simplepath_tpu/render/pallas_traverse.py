@@ -22,6 +22,13 @@ replaces /root/reference/shapes/BVHAccelerator.h:62-121's per-ray recursion):
   BVHAccelerator.h:62-77, but amortized across the packet.
 * Rays padded to the packet grid carry t_min=+inf / t_max=-inf and can
   never hit anything.
+* INTERLEAVE independent packets per grid step (default 2), each with its
+  own stack and double-buffered row DMA: the pop→DMA→test chain of a single
+  packet is SERIAL (the next row index is only known after the current
+  visit), so its DMA latency is otherwise exposed; with two packets in
+  flight, packet A's row fetch rides under packet B's VPU work and vice
+  versa.  Results are identical to the single-packet form — packets never
+  interact.
 
 Numerics match ``traverse._visit_internal`` / ``_visit_leaf`` exactly (same
 slab and Shirley arithmetic), so the Pallas and XLA paths agree to fp
@@ -149,184 +156,234 @@ def _safe_inv(d):
     return 1.0 / d
 
 
-def _closest_kernel(rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r, tmn_r, tmx_r,
-                    records, t_out, i_out, b_out, g_out,
-                    rows, stack, scl, nref_ref, sem):
-    """Software-pipelined closest-hit traversal.
+def _visit_closest(p, sp, buf, ref, rays, records, outs,
+                   rows, stack, scl, nref_ref, sem):
+    """One software-pipelined closest-hit visit for packet ``p``.
 
     The node row for the NEXT visit is always DMA'd while the current visit's
     VPU work runs: a leaf pops (and starts fetching) its successor BEFORE
     testing its 12 triangles; an internal node starts fetching its nearest
     hit child as soon as the box tests pick it, overlapping the stack writes
     and loop bookkeeping.  Semantics are identical to the unpipelined form —
-    rows are only fetched earlier, never differently.
+    rows are only fetched earlier, never differently.  Writes the packet's
+    next (sp, ref) into scl[p] / nref_ref[p].
     """
-    rox, roy, roz = rox_r[0], roy_r[0], roz_r[0]
-    rdx, rdy, rdz = rdx_r[0], rdy_r[0], rdz_r[0]
-    tmn, tmx = tmn_r[0], tmx_r[0]
-    ivx, ivy, ivz = _safe_inv(rdx), _safe_inv(rdy), _safe_inv(rdz)
-    rep = (rox[0, 0], roy[0, 0], roz[0, 0], ivx[0, 0], ivy[0, 0], ivz[0, 0])
+    rox, roy, roz, rdx, rdy, rdz, tmn, _, ivx, ivy, ivz = rays
+    t_out, i_out, b_out, g_out = outs
+    gbuf = 2 * p + buf
+    ngbuf = 2 * p + (1 - buf)
+    _row_dma(records, rows, sem, gbuf, ref).wait()
+    is_leaf = ref < 0.0
 
-    t_out[0] = tmx                     # best-t front, seeded with t_max
-    i_out[0] = jnp.full((SUB, LANES), -1, jnp.int32)
-    b_out[0] = jnp.zeros((SUB, LANES), jnp.float32)
-    g_out[0] = jnp.zeros((SUB, LANES), jnp.float32)
+    @pl.when(is_leaf)
+    def _():
+        # pop + prefetch FIRST so the DMA flies under the triangle math
+        nref = jnp.where(sp > 0, stack[p, jnp.maximum(sp - 1, 0)], 0.0)
+        scl[p] = sp - (sp > 0).astype(jnp.int32)
+        nref_ref[p] = nref
 
-    _row_dma(records, rows, sem, 0, jnp.float32(1.0)).start()   # root
-
-    def cond(state):
-        _, _, ref = state
-        return ref != 0.0
-
-    def body(state):
-        sp, buf, ref = state
-        _row_dma(records, rows, sem, buf, ref).wait()
-        is_leaf = ref < 0.0
-        nbuf = 1 - buf
-
-        @pl.when(is_leaf)
+        @pl.when(nref != 0.0)
         def _():
-            # pop + prefetch FIRST so the DMA flies under the triangle math
-            nref = jnp.where(sp > 0, stack[jnp.maximum(sp - 1, 0)], 0.0)
-            scl[0] = sp - (sp > 0).astype(jnp.int32)
-            nref_ref[0] = nref
+            _row_dma(records, rows, sem, ngbuf, nref).start()
 
-            @pl.when(nref != 0.0)
-            def _():
-                _row_dma(records, rows, sem, nbuf, nref).start()
+        base, count = _leaf_meta(rows, gbuf)
+        best_t, best_i = t_out[p], i_out[p]
+        best_b, best_g = b_out[p], g_out[p]
+        for k in range(K):
+            t, beta, gamma, hit = _leaf_tri(
+                rows, gbuf, k, count, rdx, rdy, rdz, rox, roy, roz,
+                tmn, best_t)
+            best_i = jnp.where(hit, base + k, best_i)
+            best_b = jnp.where(hit, beta, best_b)
+            best_g = jnp.where(hit, gamma, best_g)
+            best_t = jnp.where(hit, t, best_t)
+        t_out[p], i_out[p] = best_t, best_i
+        b_out[p], g_out[p] = best_b, best_g
 
-            base, count = _leaf_meta(rows, buf)
-            best_t, best_i = t_out[0], i_out[0]
-            best_b, best_g = b_out[0], g_out[0]
-            for k in range(K):
-                t, beta, gamma, hit = _leaf_tri(
-                    rows, buf, k, count, rdx, rdy, rdz, rox, roy, roz,
-                    tmn, best_t)
-                best_i = jnp.where(hit, base + k, best_i)
-                best_b = jnp.where(hit, beta, best_b)
-                best_g = jnp.where(hit, gamma, best_g)
-                best_t = jnp.where(hit, t, best_t)
-            t_out[0], i_out[0] = best_t, best_i
-            b_out[0], g_out[0] = best_b, best_g
+    @pl.when(jnp.logical_not(is_leaf))
+    def _():
+        limit = t_out[p]
+        refs, keys = _internal_visit(rows, gbuf, None, rox, roy, roz,
+                                     ivx, ivy, ivz, tmn, limit)
+        n_push = jnp.zeros((), jnp.int32)
+        for j in range(W):
+            n_push = n_push + (keys[j] > NEG_INF).astype(jnp.int32)
+        # nearest hit child (= last valid in the descending sort) is
+        # visited next: fetch it now, push only the other n_push-1
+        nref = jnp.float32(0.0)
+        for j in range(W):
+            nref = jnp.where(n_push == j + 1, refs[j], nref)
+        no_push = n_push == 0
+        nref = jnp.where(no_push & (sp > 0), stack[p, jnp.maximum(sp - 1, 0)],
+                         nref)
+        nref = jnp.where(no_push & (sp <= 0), 0.0, nref)
 
-        @pl.when(jnp.logical_not(is_leaf))
+        @pl.when(nref != 0.0)
         def _():
-            limit = t_out[0]
-            refs, keys = _internal_visit(rows, buf, rep, rox, roy, roz,
-                                         ivx, ivy, ivz, tmn, limit)
-            n_push = jnp.zeros((), jnp.int32)
-            for j in range(W):
-                n_push = n_push + (keys[j] > NEG_INF).astype(jnp.int32)
-            # nearest hit child (= last valid in the descending sort) is
-            # visited next: fetch it now, push only the other n_push-1
-            nref = jnp.float32(0.0)
-            for j in range(W):
-                nref = jnp.where(n_push == j + 1, refs[j], nref)
-            no_push = n_push == 0
-            nref = jnp.where(no_push & (sp > 0), stack[jnp.maximum(sp - 1, 0)],
-                             nref)
-            nref = jnp.where(no_push & (sp <= 0), 0.0, nref)
+            _row_dma(records, rows, sem, ngbuf, nref).start()
 
-            @pl.when(nref != 0.0)
-            def _():
-                _row_dma(records, rows, sem, nbuf, nref).start()
-
-            for j in range(W - 1):     # refs[n_push-1] goes straight to nref
-                stack[sp + j] = refs[j]
-            scl[0] = jnp.where(no_push, sp - (sp > 0).astype(jnp.int32),
-                               sp + n_push - 1)
-            nref_ref[0] = nref
-
-        return scl[0], nbuf, nref_ref[0]
-
-    jax.lax.while_loop(cond, body,
-                       (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-                        jnp.float32(1.0)))
+        for j in range(W - 1):     # refs[n_push-1] goes straight to nref
+            stack[p, sp + j] = refs[j]
+        scl[p] = jnp.where(no_push, sp - (sp > 0).astype(jnp.int32),
+                           sp + n_push - 1)
+        nref_ref[p] = nref
 
 
-def _anyhit_kernel(rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r, tmn_r, tmx_r,
-                   occ0_r, records, occ_out,
-                   rows, stack, scl, nref_ref, sem):
-    """Software-pipelined any-hit traversal (see _closest_kernel).
+def _visit_anyhit(p, sp, buf, ref, rays, records, occ_out,
+                  rows, stack, scl, nref_ref, sem):
+    """One any-hit visit for packet ``p`` (see _visit_closest).
 
     Early exit when every lane is occluded: the prefetched row's DMA is
     drained (wait) before terminating so no semaphore signal leaks."""
-    rox, roy, roz = rox_r[0], roy_r[0], roz_r[0]
-    rdx, rdy, rdz = rdx_r[0], rdy_r[0], rdz_r[0]
-    tmn, tmx = tmn_r[0], tmx_r[0]
-    ivx, ivy, ivz = _safe_inv(rdx), _safe_inv(rdy), _safe_inv(rdz)
-    rep = (rox[0, 0], roy[0, 0], roz[0, 0], ivx[0, 0], ivy[0, 0], ivz[0, 0])
+    rox, roy, roz, rdx, rdy, rdz, tmn, tmx, ivx, ivy, ivz = rays
+    gbuf = 2 * p + buf
+    ngbuf = 2 * p + (1 - buf)
+    _row_dma(records, rows, sem, gbuf, ref).wait()
+    is_leaf = ref < 0.0
+    # only unoccluded lanes keep driving traversal
+    live_limit = jnp.where(occ_out[p] > 0.5, NEG_INF, tmx)
 
-    occ_out[0] = occ0_r[0]             # padded/missing lanes pre-occluded
-    _row_dma(records, rows, sem, 0, jnp.float32(1.0)).start()
+    @pl.when(is_leaf)
+    def _():
+        nref = jnp.where(sp > 0, stack[p, jnp.maximum(sp - 1, 0)], 0.0)
+        scl[p] = sp - (sp > 0).astype(jnp.int32)
 
+        @pl.when(nref != 0.0)
+        def _():
+            _row_dma(records, rows, sem, ngbuf, nref).start()
+
+        _, count = _leaf_meta(rows, gbuf)
+        occ = occ_out[p]
+        for k in range(K):
+            _, _, _, hit = _leaf_tri(rows, gbuf, k, count, rdx, rdy, rdz,
+                                     rox, roy, roz, tmn, live_limit)
+            occ = jnp.where(hit, 1.0, occ)
+        occ_out[p] = occ
+
+        done = jnp.all(occ > 0.5)
+
+        @pl.when(done & (nref != 0.0))
+        def _():
+            _row_dma(records, rows, sem, ngbuf, nref).wait()
+
+        nref_ref[p] = jnp.where(done, 0.0, nref)
+
+    @pl.when(jnp.logical_not(is_leaf))
+    def _():
+        refs, keys = _internal_visit(rows, gbuf, None, rox, roy, roz,
+                                     ivx, ivy, ivz, tmn, live_limit)
+        n_push = jnp.zeros((), jnp.int32)
+        for j in range(W):
+            n_push = n_push + (keys[j] > NEG_INF).astype(jnp.int32)
+        nref = jnp.float32(0.0)
+        for j in range(W):
+            nref = jnp.where(n_push == j + 1, refs[j], nref)
+        no_push = n_push == 0
+        nref = jnp.where(no_push & (sp > 0), stack[p, jnp.maximum(sp - 1, 0)],
+                         nref)
+        nref = jnp.where(no_push & (sp <= 0), 0.0, nref)
+
+        @pl.when(nref != 0.0)
+        def _():
+            _row_dma(records, rows, sem, ngbuf, nref).start()
+
+        for j in range(W - 1):
+            stack[p, sp + j] = refs[j]
+        scl[p] = jnp.where(no_push, sp - (sp > 0).astype(jnp.int32),
+                           sp + n_push - 1)
+        nref_ref[p] = nref
+
+
+def _read_rays(in_refs, p):
+    rox, roy, roz = in_refs[0][p], in_refs[1][p], in_refs[2][p]
+    rdx, rdy, rdz = in_refs[3][p], in_refs[4][p], in_refs[5][p]
+    tmn, tmx = in_refs[6][p], in_refs[7][p]
+    return (rox, roy, roz, rdx, rdy, rdz, tmn, tmx,
+            _safe_inv(rdx), _safe_inv(rdy), _safe_inv(rdz))
+
+
+def _interleaved_loop(P, visit):
+    """Drive P independent packet traversals in one while_loop: each
+    iteration advances every live packet by one visit, so packet p's row DMA
+    (started at the end of its visit) flies under the OTHER packets' VPU
+    work.  State is (sp, buf, ref) per packet; a packet with ref == 0 is
+    done and skipped."""
     def cond(state):
-        _, _, ref = state
-        return ref != 0.0
+        alive = state[2] != 0.0
+        for p in range(1, P):
+            alive = alive | (state[3 * p + 2] != 0.0)
+        return alive
 
-    def body(state):
-        sp, buf, ref = state
-        _row_dma(records, rows, sem, buf, ref).wait()
-        is_leaf = ref < 0.0
-        nbuf = 1 - buf
-        # only unoccluded lanes keep driving traversal
-        live_limit = jnp.where(occ_out[0] > 0.5, NEG_INF, tmx)
+    def body(state, scl, nref_ref):
+        out = []
+        for p in range(P):
+            sp, buf, ref = state[3 * p], state[3 * p + 1], state[3 * p + 2]
 
-        @pl.when(is_leaf)
-        def _():
-            nref = jnp.where(sp > 0, stack[jnp.maximum(sp - 1, 0)], 0.0)
-            scl[0] = sp - (sp > 0).astype(jnp.int32)
-
-            @pl.when(nref != 0.0)
+            @pl.when(ref != 0.0)
             def _():
-                _row_dma(records, rows, sem, nbuf, nref).start()
+                visit(p, sp, buf, ref)
 
-            _, count = _leaf_meta(rows, buf)
-            occ = occ_out[0]
-            for k in range(K):
-                _, _, _, hit = _leaf_tri(rows, buf, k, count, rdx, rdy, rdz,
-                                         rox, roy, roz, tmn, live_limit)
-                occ = jnp.where(hit, 1.0, occ)
-            occ_out[0] = occ
+            live = ref != 0.0
+            out.append(jnp.where(live, scl[p], sp))
+            out.append(jnp.where(live, 1 - buf, buf))
+            out.append(jnp.where(live, nref_ref[p], ref))
+        return tuple(out)
 
-            done = jnp.all(occ > 0.5)
+    return cond, body
 
-            @pl.when(done & (nref != 0.0))
-            def _():
-                _row_dma(records, rows, sem, nbuf, nref).wait()
 
-            nref_ref[0] = jnp.where(done, 0.0, nref)
+def _make_closest_kernel(P):
+    def kernel(rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r, tmn_r, tmx_r,
+               records, t_out, i_out, b_out, g_out,
+               rows, stack, scl, nref_ref, sem):
+        in_refs = (rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r, tmn_r, tmx_r)
+        rays = [_read_rays(in_refs, p) for p in range(P)]
+        for p in range(P):
+            t_out[p] = rays[p][7]      # best-t front, seeded with t_max
+            i_out[p] = jnp.full((SUB, LANES), -1, jnp.int32)
+            b_out[p] = jnp.zeros((SUB, LANES), jnp.float32)
+            g_out[p] = jnp.zeros((SUB, LANES), jnp.float32)
+            _row_dma(records, rows, sem, 2 * p, jnp.float32(1.0)).start()
 
-        @pl.when(jnp.logical_not(is_leaf))
-        def _():
-            refs, keys = _internal_visit(rows, buf, rep, rox, roy, roz,
-                                         ivx, ivy, ivz, tmn, live_limit)
-            n_push = jnp.zeros((), jnp.int32)
-            for j in range(W):
-                n_push = n_push + (keys[j] > NEG_INF).astype(jnp.int32)
-            nref = jnp.float32(0.0)
-            for j in range(W):
-                nref = jnp.where(n_push == j + 1, refs[j], nref)
-            no_push = n_push == 0
-            nref = jnp.where(no_push & (sp > 0), stack[jnp.maximum(sp - 1, 0)],
-                             nref)
-            nref = jnp.where(no_push & (sp <= 0), 0.0, nref)
+        def visit(p, sp, buf, ref):
+            _visit_closest(p, sp, buf, ref, rays[p], records,
+                           (t_out, i_out, b_out, g_out),
+                           rows, stack, scl, nref_ref, sem)
 
-            @pl.when(nref != 0.0)
-            def _():
-                _row_dma(records, rows, sem, nbuf, nref).start()
+        cond, body = _interleaved_loop(P, visit)
+        state0 = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                  jnp.float32(1.0)) * P
+        jax.lax.while_loop(cond, lambda s: body(s, scl, nref_ref), state0)
 
-            for j in range(W - 1):
-                stack[sp + j] = refs[j]
-            scl[0] = jnp.where(no_push, sp - (sp > 0).astype(jnp.int32),
-                               sp + n_push - 1)
-            nref_ref[0] = nref
+    return kernel
 
-        return scl[0], nbuf, nref_ref[0]
 
-    jax.lax.while_loop(cond, body,
-                       (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-                        jnp.float32(1.0)))
+def _make_anyhit_kernel(P):
+    def kernel(rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r, tmn_r, tmx_r,
+               occ0_r, records, occ_out,
+               rows, stack, scl, nref_ref, sem):
+        in_refs = (rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r, tmn_r, tmx_r)
+        rays = [_read_rays(in_refs, p) for p in range(P)]
+        for p in range(P):
+            occ_out[p] = occ0_r[p]     # padded/missing lanes pre-occluded
+            _row_dma(records, rows, sem, 2 * p, jnp.float32(1.0)).start()
+
+        def visit(p, sp, buf, ref):
+            _visit_anyhit(p, sp, buf, ref, rays[p], records, occ_out,
+                          rows, stack, scl, nref_ref, sem)
+
+        cond, body = _interleaved_loop(P, visit)
+        state0 = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                  jnp.float32(1.0)) * P
+        jax.lax.while_loop(cond, lambda s: body(s, scl, nref_ref), state0)
+
+    return kernel
+
+
+def _interleave() -> int:
+    """Packets per grid step (default 2; SIMPLEPATH_INTERLEAVE overrides)."""
+    import os
+    return max(1, int(os.environ.get("SIMPLEPATH_INTERLEAVE", "2")))
 
 
 def _to_packets(x: Array, n_pad: int, fill: float) -> Array:
@@ -335,19 +392,20 @@ def _to_packets(x: Array, n_pad: int, fill: float) -> Array:
     return x.reshape(n_pad // PACKET, SUB, LANES)
 
 
-def _ray_specs(n_in: int):
-    blk = pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
+def _ray_specs(n_in: int, P: int):
+    blk = pl.BlockSpec((P, SUB, LANES), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     return [blk] * n_in
 
 
-_SCRATCH = [
-    pltpu.SMEM((2, REC), jnp.float32),          # double-buffered record rows
-    pltpu.SMEM((MAX_STACK,), jnp.float32),      # shared packet stack
-    pltpu.SMEM((1,), jnp.int32),                # next-sp scratch
-    pltpu.SMEM((1,), jnp.float32),              # next-ref scratch
-    pltpu.SemaphoreType.DMA((2,)),              # one per row buffer
-]
+def _scratch(P: int):
+    return [
+        pltpu.SMEM((2 * P, REC), jnp.float32),      # double-buffered rows/packet
+        pltpu.SMEM((P, MAX_STACK), jnp.float32),    # one stack per packet
+        pltpu.SMEM((P,), jnp.int32),                # next-sp scratch
+        pltpu.SMEM((P,), jnp.float32),              # next-ref scratch
+        pltpu.SemaphoreType.DMA((2 * P,)),          # one per row buffer
+    ]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -359,24 +417,25 @@ def packet_closest(records: Array, ro: Array, rd: Array, t_min: Array,
     Returns (t, tri_idx i32, beta, gamma, valid) each [N]; misses carry
     t=+inf, tri_idx=-1.
     """
+    P = _interleave()
     n = ro.shape[0]
-    n_pad = -(-n // PACKET) * PACKET
+    n_pad = -(-n // (P * PACKET)) * (P * PACKET)
     ins = [_to_packets(ro[:, 0], n_pad, 0.0), _to_packets(ro[:, 1], n_pad, 0.0),
            _to_packets(ro[:, 2], n_pad, 0.0), _to_packets(rd[:, 0], n_pad, 1.0),
            _to_packets(rd[:, 1], n_pad, 1.0), _to_packets(rd[:, 2], n_pad, 1.0),
            _to_packets(t_min, n_pad, jnp.inf), _to_packets(t_max, n_pad, -jnp.inf)]
-    grid = n_pad // PACKET
-    shp = jax.ShapeDtypeStruct((grid, SUB, LANES), jnp.float32)
-    shp_i = jax.ShapeDtypeStruct((grid, SUB, LANES), jnp.int32)
-    out_blk = pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
+    grid = n_pad // (P * PACKET)
+    shp = jax.ShapeDtypeStruct((grid * P, SUB, LANES), jnp.float32)
+    shp_i = jax.ShapeDtypeStruct((grid * P, SUB, LANES), jnp.int32)
+    out_blk = pl.BlockSpec((P, SUB, LANES), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     t, fi, b, g = pl.pallas_call(
-        _closest_kernel,
+        _make_closest_kernel(P),
         grid=(grid,),
-        in_specs=_ray_specs(8) + [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
+        in_specs=_ray_specs(8, P) + [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
         out_specs=[out_blk] * 4,
         out_shape=[shp, shp_i, shp, shp],
-        scratch_shapes=_SCRATCH,
+        scratch_shapes=_scratch(P),
         interpret=interpret,
     )(*ins, records)
     t = t.reshape(-1)[:n]
@@ -392,8 +451,9 @@ def packet_closest(records: Array, ro: Array, rd: Array, t_min: Array,
 def packet_anyhit(records: Array, ro: Array, rd: Array, t_min: Array,
                   t_max: Array, *, interpret: bool = False) -> Array:
     """Any-hit (occlusion) against the triangle BVH.  Returns bool[N]."""
+    P = _interleave()
     n = ro.shape[0]
-    n_pad = -(-n // PACKET) * PACKET
+    n_pad = -(-n // (P * PACKET)) * (P * PACKET)
     # lanes that can't hit anything start occluded so they never gate the
     # early-exit; the padding fill below also makes their boxes miss
     occ0 = jnp.zeros(n, jnp.float32)
@@ -402,17 +462,17 @@ def packet_anyhit(records: Array, ro: Array, rd: Array, t_min: Array,
            _to_packets(rd[:, 1], n_pad, 1.0), _to_packets(rd[:, 2], n_pad, 1.0),
            _to_packets(t_min, n_pad, jnp.inf), _to_packets(t_max, n_pad, -jnp.inf),
            _to_packets(occ0, n_pad, 1.0)]
-    grid = n_pad // PACKET
-    shp = jax.ShapeDtypeStruct((grid, SUB, LANES), jnp.float32)
-    out_blk = pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
+    grid = n_pad // (P * PACKET)
+    shp = jax.ShapeDtypeStruct((grid * P, SUB, LANES), jnp.float32)
+    out_blk = pl.BlockSpec((P, SUB, LANES), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     occ = pl.pallas_call(
-        _anyhit_kernel,
+        _make_anyhit_kernel(P),
         grid=(grid,),
-        in_specs=_ray_specs(9) + [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
+        in_specs=_ray_specs(9, P) + [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
         out_specs=out_blk,
         out_shape=shp,
-        scratch_shapes=_SCRATCH,
+        scratch_shapes=_scratch(P),
         interpret=interpret,
     )(*ins, records)
     return occ.reshape(-1)[:n] > 0.5

@@ -394,9 +394,10 @@ def _refine_hit(scene: Scene, hit: Hit, ro: Array, rd: Array) -> Hit:
         is_tri = hit.kind == KIND_TRIANGLE
         i = jnp.where(is_tri, idx, 0)
         tri = scene.triangles
-        tt, bb, gg, _ = intersect_triangles(tri.v0[i][None], tri.v1[i][None],
-                                            tri.v2[i][None], ro, rd,
-                                            -big, big)
+        tt, bb, gg, _ = intersect_triangles(tri.gather_row("v0", i)[None],
+                                            tri.gather_row("v1", i)[None],
+                                            tri.gather_row("v2", i)[None],
+                                            ro, rd, -big, big)
         t = jnp.where(is_tri, tt[0], t)
         beta = jnp.where(is_tri, bb[0], beta)
         gamma = jnp.where(is_tri, gg[0], gamma)

@@ -266,11 +266,9 @@ def build_scene(ps: ParsedScene, *, cli_integrator: str | None = None,
     if geom["records"] is not None:
         bvh = BVHArrays(records=jnp.asarray(geom["records"]))
 
-    triangles = TriangleArrays(
-        v0=jnp.asarray(geom["v0"]), v1=jnp.asarray(geom["v1"]),
-        v2=jnp.asarray(geom["v2"]), n0=jnp.asarray(geom["n0"]),
-        n1=jnp.asarray(geom["n1"]), n2=jnp.asarray(geom["n2"]),
-        material_id=jnp.asarray(geom["material_id"]),
+    triangles = TriangleArrays.from_rows(
+        geom["v0"], geom["v1"], geom["v2"],
+        geom["n0"], geom["n1"], geom["n2"], geom["material_id"],
     )
 
     sl_x, sl_rad = [], []

@@ -83,14 +83,79 @@ class PlaneArrays:
 
 @_pytree_dataclass
 class TriangleArrays:
-    """World-space baked triangle soup (shapes/Triangle.h:22-67)."""
-    v0: Any  # [T,3]
-    v1: Any
-    v2: Any
-    n0: Any  # [T,3] shading normals
-    n1: Any
-    n2: Any
+    """World-space baked triangle soup (shapes/Triangle.h:22-67).
+
+    Stored as PER-COMPONENT 1-D arrays, not [T,3] rows: XLA lays out a
+    [T,3] gather/reduce operand with the 3-extent dim in the 128-lane
+    position (42.7x padding — six 13.8 GB temp copies on a 28.9M-tri
+    lucy-class scene, measured); 1-D arrays tile losslessly and gather
+    cleanly.  Hot paths (normal interpolation, differentiable re-intersect)
+    gather components and stack AFTER the gather; the stacked row
+    properties below are for host-side use and small brute-force scenes
+    only — never use them on a lucy-scale table inside jit.
+    """
+    v0x: Any  # [T] vertex components
+    v0y: Any
+    v0z: Any
+    v1x: Any
+    v1y: Any
+    v1z: Any
+    v2x: Any
+    v2y: Any
+    v2z: Any
+    n0x: Any  # [T] shading-normal components
+    n0y: Any
+    n0z: Any
+    n1x: Any
+    n1y: Any
+    n1z: Any
+    n2x: Any
+    n2y: Any
+    n2z: Any
     material_id: Any  # [T] int32
+
+    @classmethod
+    def from_rows(cls, v0, v1, v2, n0, n1, n2, material_id):
+        """Build from [T,3] row arrays (host numpy or jnp)."""
+        comps = {}
+        for name, arr in (("v0", v0), ("v1", v1), ("v2", v2),
+                          ("n0", n0), ("n1", n1), ("n2", n2)):
+            for k, ax in enumerate("xyz"):
+                comps[f"{name}{ax}"] = jnp.asarray(arr[:, k])
+        return cls(material_id=jnp.asarray(material_id, jnp.int32), **comps)
+
+    def _stack(self, name):
+        return jnp.stack([getattr(self, name + ax) for ax in "xyz"], axis=-1)
+
+    @property
+    def v0(self):
+        return self._stack("v0")
+
+    @property
+    def v1(self):
+        return self._stack("v1")
+
+    @property
+    def v2(self):
+        return self._stack("v2")
+
+    @property
+    def n0(self):
+        return self._stack("n0")
+
+    @property
+    def n1(self):
+        return self._stack("n1")
+
+    @property
+    def n2(self):
+        return self._stack("n2")
+
+    def gather_row(self, name: str, idx):
+        """Stacked [..,3] of table ``name`` at ``idx`` — gathers the 1-D
+        component arrays first, so no [T,3] operand ever materializes."""
+        return jnp.stack([getattr(self, name + ax)[idx] for ax in "xyz"],
+                         axis=-1)
 
 
 @_pytree_dataclass

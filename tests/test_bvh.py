@@ -49,10 +49,7 @@ def tri_scene(v, f, use_bvh):
     return Scene(
         static=static, spheres=SphereArrays(**empty_x),
         planes=PlaneArrays(**empty_x),
-        triangles=TriangleArrays(v0=jnp.asarray(v0), v1=jnp.asarray(v1),
-                                 v2=jnp.asarray(v2), n0=jnp.asarray(n),
-                                 n1=jnp.asarray(n), n2=jnp.asarray(n),
-                                 material_id=jnp.asarray(tm)),
+        triangles=TriangleArrays.from_rows(v0, v1, v2, n, n, n, tm),
         bvh=bvh, materials=mats,
         sphere_lights=SphereLightArrays(o2w_l=z33, o2w_t=z3, w2o_l=z33,
                                         w2o_t=z3, radiance=jnp.zeros((0, 3))),

@@ -41,9 +41,8 @@ t_p, i_p, b_p, g_p, valid_p = packet_closest(bvh.records, ro, rd, t_min, t_max,
 # XLA reference path: build minimal scene with only triangles
 z3 = np.zeros((0, 3), np.float32); z33 = np.zeros((0, 3, 3), np.float32)
 zi = np.zeros((0,), np.int32)
-tri = TriangleArrays(v0=jnp.asarray(v0o), v1=jnp.asarray(v1o), v2=jnp.asarray(v2o),
-                     n0=jnp.asarray(v0o), n1=jnp.asarray(v1o), n2=jnp.asarray(v2o),
-                     material_id=jnp.zeros(Ntri, jnp.int32))
+tri = TriangleArrays.from_rows(v0o, v1o, v2o, v0o, v1o, v2o,
+                               np.zeros(Ntri, np.int32))
 static = SceneStatic(width=1, height=1, max_depth=1, russian_roulette_depth=1,
                      integrator="direct_lighting", num_spheres=0, num_planes=0,
                      num_triangles=Ntri, num_sphere_lights=0, env_kind=0,
