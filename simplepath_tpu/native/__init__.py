@@ -44,7 +44,9 @@ def get_lib():
     if _lib_tried:
         return _lib
     _lib_tried = True
-    path = _SO_PATH if os.path.exists(_SO_PATH) else _compile()
+    stale = (not os.path.exists(_SO_PATH)
+             or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC))
+    path = _compile() if stale else _SO_PATH
     if path is None:
         return None
     try:

@@ -8,8 +8,14 @@
 // Python-level recursion is the bottleneck; scene/bvh.py keeps a numpy
 // fallback.
 //
-// Topology: log2(W) levels of median split per node (widest centroid axis,
-// nth_element partition) -> branching factor W, leaves <= leaf_size.
+// Topology: TARGET-LEAF-COUNT splits (round 3).  Each node computes its
+// descendant leaf budget L = ceil(n / leaf_size), takes k = min(W, L)
+// children with near-equal leaf shares, and cuts its range at positions
+// PROPORTIONAL to those shares (recursive widest-centroid-axis
+// nth_element).  This keeps every leaf ~full: the previous halving cascade
+// bottomed out at ranges of ~13, spending an internal row on two 6-7-tri
+// leaves (lucy-28.9M measured 4.2M leaves at mean 6.9/12 + 2.1M two-child
+// internals; this scheme packs the same mesh into ~2.4M leaves at ~11/12).
 // (Binned SAH was tried and measured within bench noise of median while
 // building ~2-3x slower -- see PERF.md; median kept.)
 // Output layout matches scene/types.py BVHArrays:
@@ -53,17 +59,8 @@ int alloc_node(BuildContext& ctx) {
     return id;
 }
 
-int32_t* median_split(BuildContext& ctx, int32_t* first, int32_t* last,
-                      int axis) {
-    int32_t* mid = first + (last - first) / 2;
-    std::nth_element(first, mid, last, [&ctx, axis](int32_t a, int32_t b) {
-        return ctx.centroid[static_cast<size_t>(a) * 3 + axis]
-             < ctx.centroid[static_cast<size_t>(b) * 3 + axis];
-    });
-    return mid;
-}
-
-int32_t* median_split_widest(BuildContext& ctx, int32_t* first, int32_t* last) {
+void split_at_widest(BuildContext& ctx, int32_t* first, int32_t* mid,
+                     int32_t* last) {
     float cmin[3] = {3.4e38f, 3.4e38f, 3.4e38f};
     float cmax[3] = {-3.4e38f, -3.4e38f, -3.4e38f};
     for (int32_t* p = first; p != last; ++p) {
@@ -79,7 +76,31 @@ int32_t* median_split_widest(BuildContext& ctx, int32_t* first, int32_t* last) {
         const float e = cmax[k] - cmin[k];
         if (e > best) { best = e; axis = k; }
     }
-    return median_split(ctx, first, last, axis);
+    std::nth_element(first, mid, last, [&ctx, axis](int32_t a, int32_t b) {
+        return ctx.centroid[static_cast<size_t>(a) * 3 + axis]
+             < ctx.centroid[static_cast<size_t>(b) * 3 + axis];
+    });
+}
+
+// Partition [first,last) into k groups whose sizes are proportional to
+// near-equal shares of the range's leaf budget L, by recursive
+// widest-axis cuts.  Each group's size n_i <= (its leaf share) * leaf_size,
+// so descendant leaves stay near-full.
+void cut_range(BuildContext& ctx, int32_t* first, int32_t* last,
+               int64_t L, int k,
+               std::vector<std::pair<int32_t*, int32_t*>>& out) {
+    if (k == 1) {
+        out.emplace_back(first, last);
+        return;
+    }
+    const int kl = k / 2;
+    const int64_t base = L / k, extra = L % k;
+    int64_t Ll = static_cast<int64_t>(kl) * base + std::min<int64_t>(kl, extra);
+    const int64_t n = last - first;
+    int32_t* mid = first + (n * Ll) / L;
+    split_at_widest(ctx, first, mid, last);
+    cut_range(ctx, first, mid, Ll, kl, out);
+    cut_range(ctx, mid, last, L - Ll, k - kl, out);
 }
 
 struct WorkItem { int node; int32_t* first; int32_t* last; };
@@ -87,28 +108,17 @@ struct WorkItem { int node; int32_t* first; int32_t* last; };
 void fill_node(BuildContext& ctx, int node_id, int32_t* first, int32_t* last,
                std::vector<WorkItem>& stack) {
     const int W = ctx.width;
-    // split into up to W groups via log2(W) median-split levels
-    std::vector<int32_t*> cuts = {first, last};
-    int levels = 0;
-    for (int w = W; w > 1; w >>= 1) ++levels;
-    for (int l = 0; l < levels; ++l) {
-        std::vector<int32_t*> next_cuts;
-        for (size_t i = 0; i + 1 < cuts.size(); ++i) {
-            int32_t* a = cuts[i];
-            int32_t* b = cuts[i + 1];
-            next_cuts.push_back(a);
-            // stop splitting a group once it fits in a leaf: keeps leaves
-            // near-full instead of shattering into W half-empty leaves
-            if (b - a > ctx.leaf_size) next_cuts.push_back(median_split_widest(ctx, a, b));
-        }
-        next_cuts.push_back(last);
-        cuts = std::move(next_cuts);
-    }
+    const int64_t n = last - first;
+    const int64_t L = (n + ctx.leaf_size - 1) / ctx.leaf_size;
+    const int k = static_cast<int>(std::min<int64_t>(W, L));
+    std::vector<std::pair<int32_t*, int32_t*>> groups;
+    groups.reserve(k);
+    cut_range(ctx, first, last, L, k, groups);
 
     int w = 0;
-    for (size_t i = 0; i + 1 < cuts.size() && w < W; ++i) {
-        int32_t* gfirst = cuts[i];
-        int32_t* glast = cuts[i + 1];
+    for (size_t i = 0; i < groups.size() && w < W; ++i) {
+        int32_t* gfirst = groups[i].first;
+        int32_t* glast = groups[i].second;
         if (glast - gfirst <= 0) continue;
         const size_t bbase = (static_cast<size_t>(node_id) * W + w) * 6;
         float blo[3] = {3.4e38f, 3.4e38f, 3.4e38f};

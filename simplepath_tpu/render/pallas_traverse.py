@@ -137,13 +137,15 @@ def _leaf_tri(rows, buf, k, count, rdx, rdy, rdz, rox, roy, roz, tmn, limit):
     GFDI = G * F - D * I
     DHEG = D * H - E * G
     denom = A * EIHF + B * GFDI + C * DHEG
-    safe = jnp.where(denom == 0.0, 1.0, denom)
-    beta = (J * EIHF + Kk * GFDI + L * DHEG) / safe
+    # one reciprocal + 3 multiplies instead of 3 VPU divides; matches
+    # traverse.py's _visit_leaf so the Pallas and XLA paths stay bit-identical
+    inv = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
+    beta = (J * EIHF + Kk * GFDI + L * DHEG) * inv
     AKJB = A * Kk - J * B
     JCAL = J * C - A * L
     BLKC = B * L - Kk * C
-    gamma = (I * AKJB + H * JCAL + G * BLKC) / safe
-    t = -(F * AKJB + E * JCAL + D * BLKC) / safe
+    gamma = (I * AKJB + H * JCAL + G * BLKC) * inv
+    t = -(F * AKJB + E * JCAL + D * BLKC) * inv
     hit = ((denom != 0.0) & (k < count)
            & (beta > 0.0) & (beta < 1.0)
            & (gamma > 0.0) & (beta + gamma < 1.0)

@@ -209,13 +209,15 @@ def _visit_leaf(rec: Array, ro, rd, t_min, cur_t_max):
     GFDI = G * F - D * I
     DHEG = D * H - E * G
     denom = A * EIHF + B * GFDI + C * DHEG
-    safe_denom = jnp.where(denom == 0.0, 1.0, denom)
-    beta = (J * EIHF + K * GFDI + L * DHEG) / safe_denom
+    # one reciprocal + 3 multiplies — keep bit-identical to the Pallas
+    # kernel's _leaf_tri (pallas_traverse.py)
+    inv = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
+    beta = (J * EIHF + K * GFDI + L * DHEG) * inv
     AKJB = A * K - J * B
     JCAL = J * C - A * L
     BLKC = B * L - K * C
-    gamma = (I * AKJB + H * JCAL + G * BLKC) / safe_denom
-    t = -(F * AKJB + E * JCAL + D * BLKC) / safe_denom
+    gamma = (I * AKJB + H * JCAL + G * BLKC) * inv
+    t = -(F * AKJB + E * JCAL + D * BLKC) * inv
     valid = ((denom != 0.0) & in_leaf
              & (beta > 0.0) & (beta < 1.0)
              & (gamma > 0.0) & (beta + gamma < 1.0)

@@ -2,10 +2,11 @@
 
 TPU-native replacement for the reference's pointer-based binary BVH with
 virtual-dispatch nodes (``/root/reference/shapes/BVHAccelerator.h:37-121``):
-we build a shallow W-ary BVH (log2(W) levels of median splits per node, like
-the reference's recursive median split on the widest centroid axis,
-BVHAccelerator.h:175-209) and flatten it into packed SoA arrays for the
-device traversal loop.  A wide branching factor trades pointer-chasing depth
+we build a shallow W-ary BVH — each node partitions its range into
+``min(W, ceil(n/leaf_size))`` groups sized proportionally to near-equal
+leaf budgets, cutting on the widest centroid axis like the reference's
+recursive median split (BVHAccelerator.h:175-209) — and flatten it into
+packed SoA arrays for the device traversal loop.  A wide branching factor trades pointer-chasing depth
 for vectorized box tests, which is the right shape for the VPU.
 (Binned SAH splits were tried and measured within bench noise of median
 while building slower — see PERF.md.)
@@ -27,7 +28,11 @@ gather path and the Pallas kernel's scalar reads consume them directly
   internal row (ref = +row+1):
     [  0:48]  8 child boxes, SoA: lo.x*8, lo.y*8, lo.z*8, hi.x*8, hi.y*8, hi.z*8
     [ 48:56]  8 child refs (f32 value): 0 empty, +r+1 internal, -(r+1) leaf
-    [ 56:128] pad
+    [ 56:128] pad.  (A per-octant precomputed child-order table was tried
+              here to replace the traversal kernel's scalar sorting network
+              — rejected: reading it needs dynamic scalar SMEM indexing,
+              which Mosaic lowers ~4x slower than the 19-compare-exchange
+              register sort it would replace.  See PERF.md round 3.)
   leaf row (ref = -(row+1)), up to LEAF_SIZE=12 triangles:
     [  0:36]  v0 SoA: x*12, y*12, z*12
     [ 36:72]  e1 = v0-v1 SoA   (the Shirley A,B,C terms, Triangle.h:107-112)
@@ -61,18 +66,25 @@ WIDTH = 8       # branching factor (power of two)
 RECORD_WIDTH = 128
 
 
-def _median_split(idx: np.ndarray, centroids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Split on the widest centroid-bounds axis at the median (argpartition).
-
-    Mirrors BVHAccelerator.h:175-209's strategy; argpartition makes halves
-    always balanced so no axis-cycling fallback is needed.
-    """
+def _cut_range(idx: np.ndarray, centroids: np.ndarray, L: int, k: int,
+               out: list) -> None:
+    """Partition ``idx`` into ``k`` groups sized proportionally to
+    near-equal shares of the leaf budget ``L``, by recursive widest-axis
+    argpartition cuts (the spatial strategy mirrors BVHAccelerator.h:175-209;
+    the proportional-to-leaf-share sizing keeps leaves near-full — see the
+    native builder's header comment for the measured pathology it fixes)."""
+    if k == 1:
+        out.append(idx)
+        return
+    kl = k // 2
+    base, extra = divmod(L, k)
+    Ll = kl * base + min(kl, extra)
+    cut = (len(idx) * Ll) // L
     c = centroids[idx]
-    extent = c.max(axis=0) - c.min(axis=0)
-    axis = int(np.argmax(extent))
-    half = len(idx) // 2
-    order = np.argpartition(c[:, axis], half)
-    return idx[order[:half]], idx[order[half:]]
+    axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+    order = np.argpartition(c[:, axis], cut)
+    _cut_range(idx[order[:cut]], centroids, Ll, kl, out)
+    _cut_range(idx[order[cut:]], centroids, L - Ll, k - kl, out)
 
 
 def build_bvh_wide(tri_lo: np.ndarray, tri_hi: np.ndarray,
@@ -102,19 +114,12 @@ def build_bvh_wide(tri_lo: np.ndarray, tri_hi: np.ndarray,
         return len(boxes) - 1
 
     def split_wide(idx: np.ndarray) -> list[np.ndarray]:
-        groups = [idx]
-        for _ in range(levels):
-            nxt = []
-            for g in groups:
-                # stop splitting once a group fits in a leaf record: keeps
-                # leaves near-full (fewer rows, fewer leaf visits) instead of
-                # shattering into W half-empty leaves
-                if len(g) <= leaf_size:
-                    nxt.append(g)
-                else:
-                    a, b = _median_split(g, centroids)
-                    nxt.extend((a, b))
-            groups = nxt
+        n = len(idx)
+        L = -(-n // leaf_size)          # this range's leaf budget
+        if L == 1:
+            return [idx]
+        groups: list[np.ndarray] = []
+        _cut_range(idx, centroids, L, min(width, L), groups)
         return [g for g in groups if len(g)]
 
     root = alloc_node()

@@ -25,7 +25,8 @@ logger = logging.getLogger("simplepath_tpu")
 __all__ = ["geometry_cache_key", "load_geometry", "save_geometry",
            "CACHE_MIN_TRIS"]
 
-CACHE_VERSION = 3  # bump when the record layout or builder topology changes
+CACHE_VERSION = 5  # bump when the record layout or builder topology changes
+                   # (v5: target-leaf-count splits -> near-full leaves)
 CACHE_MIN_TRIS = 50_000  # below this a rebuild is faster than the disk trip
 
 _FIELDS = ("records", "v0", "v1", "v2", "n0", "n1", "n2", "material_id")

@@ -197,10 +197,70 @@ environment_light {
 """
 
 
+# Combined coverage scene: triangle mesh + spheres + plane + clearcoat +
+# glossy + lambertian + sphere light + IBL env, under the flagship RRNEE —
+# every geometric kind, material kind, and light kind in ONE golden.
+COMBO_GEO = """
+material_lambertian {
+    name: "grey"
+    diffuse: 0.5 0.5 0.5
+}
+
+material_glossy {
+    name: "rough"
+    diffuse: 0.6 0.3 0.2
+    ior: 1.6
+    roughness: 0.4
+}
+
+material_lambertian {
+    name: "base_lam"
+    diffuse: 0.2 0.3 0.7
+}
+
+material_clearcoat {
+    name: "coat"
+    base: "base_lam"
+    ior: 1.5
+    color: 1.0 0.9 0.9
+}
+
+material_glossy {
+    name: "shiny"
+    diffuse: 0.3 0.6 0.3
+    ior: 1.5
+    roughness: 0.05
+}
+
+mesh {
+    file: "blob.ply"
+    translate: -0.9 0.0 0.0
+    material: "rough"
+}
+
+sphere {
+    translate: 1.2 1.0 0.3
+    material: "coat"
+}
+
+sphere {
+    translate: 0.3 0.6 1.3
+    scale: 0.55 0.55 0.55
+    material: "shiny"
+}
+
+plane {
+    material: "grey"
+}
+"""
+
+
 def all_scenes():
     return {
         # name: (integrator, body, spp, size, max_depth)
         "g_direct": ("direct_lighting", BASIC_GEO + SPHERE_LIGHT, 256, 64, 8),
+        "g_combo_ibl": ("iterative_rrnee",
+                        COMBO_GEO + SPHERE_LIGHT + IBL_LIGHT, 256, 64, 6),
         "g_direct_env": ("direct_lighting", BASIC_GEO + ENV_LIGHT, 256, 64, 8),
         "g_bf": ("brute_force", BASIC_GEO + ENV_LIGHT, 128, 48, 4),
         "g_bfiter": ("brute_force_iterative", BASIC_GEO + ENV_LIGHT, 128, 48, 5),
@@ -221,18 +281,75 @@ def all_scenes():
     }
 
 
+# Headline-config parity (round-2 VERDICT task 4): the bunny-class bench
+# scene (same .sp text as bench.py — 4x 82k-tri displaced blobs, glossy
+# plane, sphere light, RRNEE depth 10) at 512x512, with the golden rendered
+# at an spp our side MATCHES exactly, so the unblurred per-pixel comparison
+# in test_golden_parity.py::test_headline_spp_matched is limited only by
+# independent-stream MC noise.
+HEADLINE_SPP = 512
+HEADLINE_SIZE = 512
+
+
+def make_headline(ref: str, threads: int) -> None:
+    import bench  # repo-root bench.py — reuse its scene verbatim
+
+    root_scenes = os.path.join(ROOT, "scenes")
+    os.makedirs(root_scenes, exist_ok=True)
+    asset = os.path.join(root_scenes, "bench_blob.ply")
+    if not os.path.exists(asset):
+        from simplepath_tpu.io.meshgen import displaced_blob, write_ply
+        v, f = displaced_blob(6)  # 81920 tris (bench.py ensure_assets)
+        write_ply(asset, v, f)
+    text = bench.SCENE_TEXT.format(size=HEADLINE_SIZE).replace(
+        'output_file_name: "bunny_bench.pfm"',
+        'output_file_name: "g_headline.pfm"')
+    with open(os.path.join(root_scenes, "headline_parity.sp"), "w") as f:
+        f.write(text)
+    print(f"render g_headline ({HEADLINE_SIZE}^2 @ {HEADLINE_SPP}spp, "
+          f"reference, ~1h on 2 vCPUs)...", flush=True)
+    subprocess.run([ref, "--threads", str(threads),
+                    "--samples", str(HEADLINE_SPP), "headline_parity.sp"],
+                   cwd=root_scenes, check=True, capture_output=True)
+    shutil.move(os.path.join(root_scenes, "g_headline.pfm"),
+                os.path.join(GOLDEN, "g_headline.pfm"))
+    _update_manifest({"g_headline": {
+        "spp": HEADLINE_SPP, "integrator": "iterative_rrnee",
+        "size": HEADLINE_SIZE, "max_depth": 10, "tier": "headline",
+        "scene": "scenes/headline_parity.sp"}})
+
+
+def _update_manifest(entries: dict) -> None:
+    path = os.path.join(GOLDEN, "manifest.json")
+    manifest = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            manifest = json.load(f)
+    manifest.update(entries)
+    with open(path, "w") as f:
+        json.dump(manifest, f, indent=1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", default="/tmp/refbuild/SimplePath")
     ap.add_argument("--threads", type=int, default=os.cpu_count())
+    ap.add_argument("--only", default=None,
+                    help="comma-separated golden names to regenerate "
+                         "(default: all; manifest entries are merged)")
+    ap.add_argument("--headline", action="store_true",
+                    help="also render the 512^2 spp-matched headline golden")
     args = ap.parse_args()
 
     os.makedirs(SCENES, exist_ok=True)
     os.makedirs(GOLDEN, exist_ok=True)
     make_assets()
 
+    only = set(args.only.split(",")) if args.only else None
     manifest = {}
     for name, (integ, body, spp, size, max_depth) in all_scenes().items():
+        if only is not None and name not in only:
+            continue
         text = scene_text(name, integ, body, w=size, h=size, max_depth=max_depth)
         path = os.path.join(SCENES, name + ".sp")
         with open(path, "w") as f:
@@ -245,8 +362,9 @@ def main():
                     os.path.join(GOLDEN, name + ".pfm"))
         manifest[name] = {"spp": spp, "integrator": integ, "size": size,
                           "max_depth": max_depth}
-    with open(os.path.join(GOLDEN, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1)
+    _update_manifest(manifest)
+    if args.headline:
+        make_headline(args.ref, args.threads)
     print("done:", len(manifest), "goldens")
 
 
