@@ -1,0 +1,227 @@
+"""Geometry ("model") sharding: the BVH record table split across the mesh.
+
+The SURVEY §2 stress case: a scene whose acceleration structure exceeds
+one chip's HBM.  Ray ("data") parallelism replicates the scene; this module
+adds the orthogonal axis — the triangle soup is partitioned into D spatially
+coherent slices (Morton order of centroids), each slice gets its OWN
+sub-BVH (a forest), and the packed record tables are stacked [D, M, 128]
+and sharded across a ``geom`` mesh axis.  At trace time every device
+traverses the full ray wavefront against its local sub-BVH only
+(``shard_map`` — no record table ever leaves its device), producing
+per-shard closest hits that are combined by a min-t reduction; any-hit
+combines by OR.  The reference has no counterpart (its BVH lives in one
+address space, shapes/BVHAccelerator.h); this is the TPU-native equivalent
+of out-of-core geometry.
+
+Because each shard's leaves index its contiguous slice of the GLOBAL
+reordered triangle table (pack_records(base_offset=...)), the combined Hit
+carries ordinary global triangle indices and the entire downstream pipeline
+(shading, NEE, autodiff) is unchanged.  Shading tables (vertices/normals)
+stay replicated in this implementation — records are the dominant term
+(e.g. 3.4 GB records vs 2.2 GB tables on the 28.9M-tri lucy scene); the
+same contiguous-slice layout admits sharding them too if ever needed.
+
+Composition with ray sharding: the ``geom`` axis is its own mesh axis; on a
+2-D mesh ("rays", "geom") the wavefront shards over "rays" while each
+record shard lives once per rays-group — the shard_map here names only
+"geom", so both layouts trace identically.
+
+Usage:
+    mesh = Mesh(devices, ("geom",))
+    scene_sh = shard_scene_geometry(scene, mesh)      # host: forest build
+    with set_geom_mesh(mesh):
+        img = render_image(scene_sh, spp=..., key=...)  # any integrator
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["shard_scene_geometry", "set_geom_mesh", "get_geom_mesh",
+           "sharded_closest", "sharded_anyhit", "GEOM_AXIS"]
+
+GEOM_AXIS = "geom"
+
+_GEOM_MESH: Mesh | None = None
+
+
+@contextlib.contextmanager
+def set_geom_mesh(mesh: Mesh):
+    """Install the mesh the geometry-sharded traversal shard_maps over.
+
+    Trace-time configuration (like SIMPLEPATH_PALLAS): the mesh object
+    cannot ride in the hashable SceneStatic, so the render call is wrapped
+    in this context."""
+    global _GEOM_MESH
+    prev = _GEOM_MESH
+    _GEOM_MESH = mesh
+    try:
+        yield
+    finally:
+        _GEOM_MESH = prev
+
+
+def get_geom_mesh() -> Mesh:
+    if _GEOM_MESH is None:
+        raise RuntimeError("geometry-sharded scene rendered outside "
+                           "set_geom_mesh(mesh)")
+    return _GEOM_MESH
+
+
+def _part1by2_64(a: np.ndarray) -> np.ndarray:
+    """Spread the low 21 bits with two zero bits between each (u64)."""
+    a = np.asarray(a, np.uint64) & np.uint64(0x1FFFFF)
+    a = (a | (a << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+    a = (a | (a << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+    a = (a | (a << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+    a = (a | (a << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+    a = (a | (a << np.uint64(2))) & np.uint64(0x1249249249249249)
+    return a
+
+
+def _morton_slices(v0, v1, v2, n_shards: int) -> list[np.ndarray]:
+    """Partition triangle indices into n_shards spatially coherent,
+    near-equal contiguous runs (3-D Morton order of quantized centroids —
+    the 64-bit sibling of the coherence-sort key in render/integrators.py)."""
+    c = ((v0 + v1 + v2) / 3.0).astype(np.float64)
+    lo, hi = c.min(0), c.max(0)
+    q = np.clip((c - lo) / np.maximum(hi - lo, 1e-30) * ((1 << 21) - 1),
+                0, (1 << 21) - 1).astype(np.uint64)
+    key = ((_part1by2_64(q[:, 0]) << np.uint64(2))
+           | (_part1by2_64(q[:, 1]) << np.uint64(1)) | _part1by2_64(q[:, 2]))
+    order = np.argsort(key, kind="stable")
+    return np.array_split(order, n_shards)
+
+
+def shard_scene_geometry(scene, mesh: Mesh):
+    """Host-side forest build: returns a Scene whose bvh.records is
+    [D, M, 128] sharded over mesh's GEOM_AXIS and whose triangle tables are
+    globally reordered so each shard's leaves index a contiguous slice.
+
+    The input scene must have triangles and may be freshly loaded with
+    ``use_bvh=False`` (any existing mono-BVH ordering is discarded)."""
+    import dataclasses
+
+    from ..scene.bvh import build_bvh_wide, pack_records
+    from ..scene.types import BVHArrays, TriangleArrays
+
+    D = int(np.prod([mesh.shape[a] for a in (GEOM_AXIS,)]))
+    tri = scene.triangles
+    v0 = np.stack([np.asarray(tri.v0x), np.asarray(tri.v0y), np.asarray(tri.v0z)], 1)
+    v1 = np.stack([np.asarray(tri.v1x), np.asarray(tri.v1y), np.asarray(tri.v1z)], 1)
+    v2 = np.stack([np.asarray(tri.v2x), np.asarray(tri.v2y), np.asarray(tri.v2z)], 1)
+    n0 = np.stack([np.asarray(tri.n0x), np.asarray(tri.n0y), np.asarray(tri.n0z)], 1)
+    n1 = np.stack([np.asarray(tri.n1x), np.asarray(tri.n1y), np.asarray(tri.n1z)], 1)
+    n2 = np.stack([np.asarray(tri.n2x), np.asarray(tri.n2y), np.asarray(tri.n2z)], 1)
+    mid = np.asarray(tri.material_id)
+
+    slices = _morton_slices(v0, v1, v2, D)
+    recs, global_order = [], []
+    off = 0
+    for sl in slices:
+        sv0, sv1, sv2 = v0[sl], v1[sl], v2[sl]
+        lo = np.minimum(np.minimum(sv0, sv1), sv2)
+        hi = np.maximum(np.maximum(sv0, sv1), sv2)
+        nodes, order = build_bvh_wide(lo, hi)
+        recs.append(pack_records(nodes, sv0[order], sv1[order], sv2[order],
+                                 base_offset=off))
+        global_order.append(sl[order])
+        off += len(sl)
+    M = max(r.shape[0] for r in recs)
+    stacked = np.zeros((D, M, recs[0].shape[1]), np.float32)
+    for d, r in enumerate(recs):
+        stacked[d, :r.shape[0]] = r
+    order = np.concatenate(global_order)
+
+    records = jax.device_put(jnp.asarray(stacked),
+                             NamedSharding(mesh, P(GEOM_AXIS)))
+    triangles = TriangleArrays.from_rows(v0[order], v1[order], v2[order],
+                                         n0[order], n1[order], n2[order],
+                                         mid[order])
+    static = dataclasses.replace(scene.static, has_bvh=True,
+                                 geom_shards=D)
+    return dataclasses.replace(scene, static=static, triangles=triangles,
+                               bvh=BVHArrays(records=records))
+
+
+def _local_closest(records, ro, rd, t_min, t_max, interpret: bool):
+    """One shard's closest hit (runs per device under shard_map).
+    records: [1, M, 128] (this device's block)."""
+    from ..render.pallas_traverse import packet_closest
+    from ..render.traverse import _bvh_closest, _pallas_enabled
+    from ..scene.types import BVHArrays
+
+    rec = records[0]
+    if _pallas_enabled():
+        t, fi, beta, gamma, valid = packet_closest(rec, ro, rd, t_min, t_max,
+                                                   interpret=interpret)
+    else:
+        import dataclasses
+
+        class _S:  # minimal scene view for _bvh_closest
+            bvh = BVHArrays(records=rec)
+        hit = jax.vmap(lambda o, d, a, b: _bvh_closest(_S, o, d, a, b))(
+            ro, rd, t_min, t_max)
+        t, fi, beta, gamma, valid = hit.t, hit.idx, hit.beta, hit.gamma, hit.valid
+    inf = jnp.float32(3.4e38)
+    t = jnp.where(valid, t, inf)
+    return (t[None], fi[None], beta[None], gamma[None], valid[None])
+
+
+def sharded_closest(records, ro, rd, t_min, t_max):
+    """Closest triangle hit vs the sharded forest → (t, idx, beta, gamma,
+    valid), combined across shards by min-t."""
+    from jax.experimental.shard_map import shard_map
+
+    mesh = get_geom_mesh()
+    interpret = jax.default_backend() != "tpu"
+    spec_r = P(GEOM_AXIS)
+    rep = P()
+    out = shard_map(
+        lambda rec, o, d, a, b: _local_closest(rec, o, d, a, b, interpret),
+        mesh=mesh,
+        in_specs=(spec_r, rep, rep, rep, rep),
+        out_specs=(spec_r,) * 5,
+        check_rep=False,
+    )(records, ro, rd, t_min, t_max)
+    t_all, fi_all, b_all, g_all, v_all = out          # each [D, N]
+    d = jnp.argmin(t_all, axis=0)                      # nearest shard per ray
+    take = lambda a: jnp.take_along_axis(a, d[None], axis=0)[0]
+    valid = jnp.any(v_all, axis=0)
+    return (jnp.where(valid, take(t_all), jnp.inf), take(fi_all),
+            take(b_all), take(g_all), valid)
+
+
+def sharded_anyhit(records, ro, rd, t_min, t_max):
+    """Occlusion vs the sharded forest (OR across shards)."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..render.pallas_traverse import packet_anyhit
+    from ..render.traverse import _bvh_any, _pallas_enabled
+    from ..scene.types import BVHArrays
+
+    mesh = get_geom_mesh()
+    interpret = jax.default_backend() != "tpu"
+
+    def local(records, ro, rd, a, b):
+        rec = records[0]
+        if _pallas_enabled():
+            occ = packet_anyhit(rec, ro, rd, a, b, interpret=interpret)
+        else:
+            class _S:
+                bvh = BVHArrays(records=rec)
+            occ = jax.vmap(lambda o, d_, x, y: _bvh_any(_S, o, d_, x, y))(
+                ro, rd, a, b)
+        return occ[None]
+
+    rep = P()
+    occ = shard_map(local, mesh=mesh,
+                    in_specs=(P(GEOM_AXIS), rep, rep, rep, rep),
+                    out_specs=P(GEOM_AXIS), check_rep=False,
+                    )(records, ro, rd, t_min, t_max)
+    return jnp.any(occ, axis=0)

@@ -353,8 +353,11 @@ def scene_intersect_batch(scene: Scene, ro: Array, rd: Array, t_min: Array,
     as :func:`scene_intersect`).  Elsewhere this is exactly
     ``vmap(scene_intersect)``.
     """
-    if not (scene.static.num_triangles > 0 and scene.static.has_bvh
-            and _pallas_enabled()):
+    use_geom_shards = (scene.static.num_triangles > 0
+                       and scene.static.geom_shards > 0)
+    if not use_geom_shards and not (scene.static.num_triangles > 0
+                                    and scene.static.has_bvh
+                                    and _pallas_enabled()):
         return jax.vmap(lambda o, d, a, b: scene_intersect(scene, o, d, a, b))(
             ro, rd, t_min, t_max)
 
@@ -366,9 +369,15 @@ def scene_intersect_batch(scene: Scene, ro: Array, rd: Array, t_min: Array,
 
     # off-TPU (SIMPLEPATH_PALLAS=1 on CPU tests) runs the kernel interpreted
     interpret = jax.default_backend() != "tpu"
-    t, fi, beta, gamma, valid = packet_closest(scene_d.bvh.records, ro_d, rd_d,
-                                               t_min_d, t_max_d,
-                                               interpret=interpret)
+    if use_geom_shards:
+        from ..parallel.geom_shard import sharded_closest
+        t, fi, beta, gamma, valid = sharded_closest(
+            scene_d.bvh.records, ro_d, rd_d, t_min_d, t_max_d)
+    else:
+        t, fi, beta, gamma, valid = packet_closest(scene_d.bvh.records,
+                                                   ro_d, rd_d,
+                                                   t_min_d, t_max_d,
+                                                   interpret=interpret)
     n = ro.shape[0]
     best = Hit(valid=valid,
                t=jnp.where(valid, t, INF_DISTANCE),
@@ -539,7 +548,11 @@ def scene_intersect_p_batch(scene: Scene, ro: Array, rd: Array, t_min: Array,
     n = ro.shape[0]
     found = jnp.zeros(n, bool)
     if scene.static.num_triangles > 0:
-        if scene.static.has_bvh and _pallas_enabled():
+        if scene.static.geom_shards > 0:
+            from ..parallel.geom_shard import sharded_anyhit
+            found = found | sharded_anyhit(scene.bvh.records, ro, rd,
+                                           t_min, t_max)
+        elif scene.static.has_bvh and _pallas_enabled():
             from .pallas_traverse import packet_anyhit
             interpret = jax.default_backend() != "tpu"
             found = found | packet_anyhit(scene.bvh.records, ro, rd,

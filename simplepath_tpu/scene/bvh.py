@@ -157,11 +157,14 @@ BASE_SHIFT = 12  # leaf base index split: base = hi * 2^12 + lo, both exact f32
 
 
 def pack_records(nodes: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-                 leaf_cap: int = LEAF_SIZE) -> np.ndarray:
+                 leaf_cap: int = LEAF_SIZE, base_offset: int = 0) -> np.ndarray:
     """Flatten (child_box, child_meta) + REORDERED triangles into the unified
     f32[M, 128] record table (layout in the module docstring).
 
     Internal rows come first (root = row 0, ref +1); leaf rows follow.
+    ``base_offset`` shifts the leaf base triangle indices — used by the
+    geometry-sharded build (parallel/geom_shard.py), where each shard's
+    sub-BVH indexes its contiguous slice of the GLOBAL triangle table.
     """
     child_box = nodes["child_box"]      # [Nn, W, 6]
     child_meta = nodes["child_meta"]    # [Nn, W, 3]
@@ -176,7 +179,8 @@ def pack_records(nodes: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     L = leaf_first.shape[0]
     M = Nn + L
     assert M < (1 << 24), "record ROW refs stored as exact f32 (row count limit)"
-    assert v0.shape[0] < (1 << (24 + BASE_SHIFT)), "leaf base_hi must stay exact f32"
+    assert base_offset + v0.shape[0] < (1 << (24 + BASE_SHIFT)), \
+        "leaf base_hi must stay exact f32"
     rec = np.zeros((M, RECORD_WIDTH), np.float32)
 
     # child refs: 0 empty, +row+1 internal, -(row+1) leaf (exact f32 values)
@@ -203,8 +207,9 @@ def pack_records(nodes: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
             rec[Nn:, axis * K:axis * K + K] = V0[:, :, axis]
             rec[Nn:, 3 * K + axis * K:4 * K + axis * K] = E1[:, :, axis]
             rec[Nn:, 6 * K + axis * K:7 * K + axis * K] = E2[:, :, axis]
-        rec[Nn:, 9 * K] = (leaf_first & ((1 << BASE_SHIFT) - 1)).astype(np.float32)
-        rec[Nn:, 9 * K + 1] = (leaf_first >> BASE_SHIFT).astype(np.float32)
+        gfirst = leaf_first + base_offset
+        rec[Nn:, 9 * K] = (gfirst & ((1 << BASE_SHIFT) - 1)).astype(np.float32)
+        rec[Nn:, 9 * K + 1] = (gfirst >> BASE_SHIFT).astype(np.float32)
         rec[Nn:, 9 * K + 2] = leaf_count.astype(np.float32)
     return rec
 

@@ -253,6 +253,9 @@ class SceneStatic:
     # True → bounce loops use fixed-trip fori_loop (reverse-mode
     # differentiable); False → batch early-exit while_loop (faster inference)
     differentiable: bool = False
+    # >0 → bvh.records is a [D, M, 128] forest sharded across the "geom"
+    # mesh axis (parallel/geom_shard.py); 0 → single replicated BVH
+    geom_shards: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
