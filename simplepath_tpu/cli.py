@@ -57,6 +57,10 @@ def main(argv=None) -> int:
                          "it (implies progressive rendering)")
     ap.add_argument("--no-progress", action="store_true",
                     help="disable the progress bar in progressive mode")
+    ap.add_argument("--geom-shards", type=int, default=0, metavar="N",
+                    help="shard the BVH across N devices (geometry/'model' "
+                         "parallelism for scenes too large to replicate); "
+                         "rays are replicated instead of sharded")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
@@ -78,18 +82,35 @@ def main(argv=None) -> int:
     from .scene.build import build_scene
 
     t0 = time.time()
+    use_bvh = False if args.geom_shards > 1 else None  # sharding rebuilds it
     if args.scene == "-":
         ps = parse_sp(sys.stdin.read())
-        scene = build_scene(ps, cli_integrator=args.integrator)
+        scene = build_scene(ps, cli_integrator=args.integrator, use_bvh=use_bvh)
         out_dir = os.getcwd()
     else:
-        scene = load_scene(args.scene, cli_integrator=args.integrator)
+        scene = load_scene(args.scene, cli_integrator=args.integrator,
+                           use_bvh=use_bvh)
         out_dir = os.path.dirname(os.path.abspath(args.scene))
     t_parse = time.time() - t0
 
     t0 = time.time()
-    progressive = bool(args.checkpoint) or (0 < args.spp_chunk < args.samples)
-    if progressive:
+    if args.geom_shards > 1:
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from .parallel.geom_shard import (GEOM_AXIS,
+                                          render_image_geom_sharded,
+                                          shard_scene_geometry)
+        devs = jax.devices()
+        if len(devs) < args.geom_shards:
+            ap.error(f"--geom-shards {args.geom_shards} but only "
+                     f"{len(devs)} device(s) visible")
+        mesh = Mesh(np.asarray(devs[:args.geom_shards]), (GEOM_AXIS,))
+        scene = shard_scene_geometry(scene, mesh)
+        img = render_image_geom_sharded(scene, args.samples,
+                                        jax.random.PRNGKey(args.seed),
+                                        mesh=mesh)
+    elif bool(args.checkpoint) or (0 < args.spp_chunk < args.samples):
         chunk = args.spp_chunk or min(16, args.samples)
         img = render_image_progressive(
             scene, args.samples, jax.random.PRNGKey(args.seed), chunk=chunk,

@@ -43,7 +43,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["shard_scene_geometry", "set_geom_mesh", "get_geom_mesh",
-           "sharded_closest", "sharded_anyhit", "GEOM_AXIS"]
+           "sharded_closest", "sharded_anyhit", "render_image_geom_sharded",
+           "GEOM_AXIS"]
 
 GEOM_AXIS = "geom"
 
@@ -107,7 +108,7 @@ def shard_scene_geometry(scene, mesh: Mesh):
     ``use_bvh=False`` (any existing mono-BVH ordering is discarded)."""
     import dataclasses
 
-    from ..scene.bvh import build_bvh_wide, pack_records
+    from ..scene.bvh import build_nodes, pack_records
     from ..scene.types import BVHArrays, TriangleArrays
 
     D = int(np.prod([mesh.shape[a] for a in (GEOM_AXIS,)]))
@@ -127,7 +128,7 @@ def shard_scene_geometry(scene, mesh: Mesh):
         sv0, sv1, sv2 = v0[sl], v1[sl], v2[sl]
         lo = np.minimum(np.minimum(sv0, sv1), sv2)
         hi = np.maximum(np.maximum(sv0, sv1), sv2)
-        nodes, order = build_bvh_wide(lo, hi)
+        nodes, order = build_nodes(lo, hi)  # native C++ for lucy-class shards
         recs.append(pack_records(nodes, sv0[order], sv1[order], sv2[order],
                                  base_offset=off))
         global_order.append(sl[order])
@@ -147,6 +148,43 @@ def shard_scene_geometry(scene, mesh: Mesh):
                                  geom_shards=D)
     return dataclasses.replace(scene, static=static, triangles=triangles,
                                bvh=BVHArrays(records=records))
+
+
+def render_image_geom_sharded(scene, spp: int, key, mesh: Mesh,
+                              integrator: str | None = None,
+                              chunk_rays: int = 1 << 16,
+                              spp_offset: int = 0):
+    """Full-frame render of a geometry-sharded scene → [H, W, 3].
+
+    The dual of parallel.mesh.render_image_sharded: here the RAY wavefront
+    is replicated on every device and the BVH record table is what's
+    sharded — every device traverses all rays against its sub-forest and
+    the min-t/OR combine in sharded_closest/anyhit merges the shards.
+    Rays are chunked on host to bound live-wavefront memory."""
+    import jax.numpy as jnp
+
+    from ..render.film import render_rays
+
+    h, w = scene.static.height, scene.static.width
+    ys_g, xs_g = np.meshgrid(np.arange(h, dtype=np.int32),
+                             np.arange(w, dtype=np.int32), indexing="ij")
+    xs_all, ys_all = xs_g.reshape(-1), ys_g.reshape(-1)
+    n = xs_all.shape[0]
+    n_pad = ((n + chunk_rays - 1) // chunk_rays) * chunk_rays
+    xs_all = np.pad(xs_all, (0, n_pad - n))
+    ys_all = np.pad(ys_all, (0, n_pad - n))
+
+    fn = jax.jit(render_rays, static_argnames=("spp", "integrator"))
+    s0 = jnp.asarray(spp_offset, jnp.int32)
+    out = []
+    with set_geom_mesh(mesh):
+        for c0 in range(0, n_pad, chunk_rays):
+            out.append(fn(scene, jnp.asarray(xs_all[c0:c0 + chunk_rays]),
+                          jnp.asarray(ys_all[c0:c0 + chunk_rays]),
+                          spp=spp, key=key, integrator=integrator,
+                          spp_offset=s0))
+        flat = jnp.concatenate(out, axis=0)
+        return flat[:n].reshape(h, w, 3)
 
 
 def _local_closest(records, ro, rd, t_min, t_max, interpret: bool):
@@ -176,7 +214,7 @@ def _local_closest(records, ro, rd, t_min, t_max, interpret: bool):
 def sharded_closest(records, ro, rd, t_min, t_max):
     """Closest triangle hit vs the sharded forest → (t, idx, beta, gamma,
     valid), combined across shards by min-t."""
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     mesh = get_geom_mesh()
     interpret = jax.default_backend() != "tpu"
@@ -187,7 +225,7 @@ def sharded_closest(records, ro, rd, t_min, t_max):
         mesh=mesh,
         in_specs=(spec_r, rep, rep, rep, rep),
         out_specs=(spec_r,) * 5,
-        check_rep=False,
+        check_vma=False,
     )(records, ro, rd, t_min, t_max)
     t_all, fi_all, b_all, g_all, v_all = out          # each [D, N]
     d = jnp.argmin(t_all, axis=0)                      # nearest shard per ray
@@ -199,7 +237,7 @@ def sharded_closest(records, ro, rd, t_min, t_max):
 
 def sharded_anyhit(records, ro, rd, t_min, t_max):
     """Occlusion vs the sharded forest (OR across shards)."""
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     from ..render.pallas_traverse import packet_anyhit
     from ..render.traverse import _bvh_any, _pallas_enabled
@@ -222,6 +260,6 @@ def sharded_anyhit(records, ro, rd, t_min, t_max):
     rep = P()
     occ = shard_map(local, mesh=mesh,
                     in_specs=(P(GEOM_AXIS), rep, rep, rep, rep),
-                    out_specs=P(GEOM_AXIS), check_rep=False,
+                    out_specs=P(GEOM_AXIS), check_vma=False,
                     )(records, ro, rd, t_min, t_max)
     return jnp.any(occ, axis=0)

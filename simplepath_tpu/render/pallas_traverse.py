@@ -52,7 +52,8 @@ PACKET = SUB * LANES            # rays per packet
 W = 8                           # BVH branching factor (scene/bvh.py WIDTH)
 K = 12                          # triangles per leaf (scene/bvh.py LEAF_SIZE)
 REC = 128                       # floats per record row
-MAX_STACK = 96                  # depth*(W-1)+1 for ~16M-tri scenes, +W headroom
+MAX_STACK = 96                  # capacity; pack_records asserts the tree fits
+                                # (depth*(W-1)+1 <= min(MAX_STACK, STACK_DEPTH))
 INF = float("inf")
 NEG_INF = float("-inf")
 

@@ -57,8 +57,9 @@ import numpy as np
 
 from .types import BVHArrays
 
-__all__ = ["build_bvh_wide", "pack_records", "make_bvh_arrays",
-           "make_packed_records", "LEAF_SIZE", "WIDTH", "RECORD_WIDTH"]
+__all__ = ["build_bvh_wide", "build_nodes", "tree_depth", "pack_records",
+           "make_bvh_arrays", "make_packed_records",
+           "LEAF_SIZE", "WIDTH", "RECORD_WIDTH"]
 
 LEAF_SIZE = 12  # record rows fit 12 triangles (reference uses 4,
                 # BVHAccelerator.h:211 — topology is ours to choose)
@@ -153,6 +154,41 @@ def build_bvh_wide(tri_lo: np.ndarray, tri_hi: np.ndarray,
 NATIVE_MIN_TRIS = 20_000  # below this the numpy builder is fast enough
 
 
+def build_nodes(tri_lo: np.ndarray, tri_hi: np.ndarray) -> tuple[dict, np.ndarray]:
+    """Build the wide-BVH node arrays, dispatching to the native C++
+    builder for large inputs (lucy-class meshes take minutes through the
+    Python builder) with numpy as the fallback.  Shared by the mono-BVH
+    pack (make_packed_records) and the geometry-sharded forest build
+    (parallel/geom_shard.py)."""
+    if tri_lo.shape[0] >= NATIVE_MIN_TRIS:
+        from ..native import native_build_bvh_wide
+        result = native_build_bvh_wide(tri_lo.astype(np.float32),
+                                       tri_hi.astype(np.float32),
+                                       LEAF_SIZE, WIDTH)
+        if result is not None:
+            return result
+    return build_bvh_wide(tri_lo, tri_hi)
+
+
+def tree_depth(child_meta: np.ndarray) -> int:
+    """Number of internal levels from the root (row 0) to the deepest leaf,
+    by vectorized level-order descent."""
+    depth = 0
+    frontier = np.array([0], np.int32)
+    while frontier.size:
+        depth += 1
+        kids = child_meta[frontier][:, :, 0].ravel()
+        frontier = kids[kids >= 0].astype(np.int32)
+    return depth
+
+
+def _stack_limit() -> int:
+    """The tighter of the two traversal paths' fixed stack capacities."""
+    from ..render.pallas_traverse import MAX_STACK
+    from ..render.traverse import STACK_DEPTH
+    return min(MAX_STACK, STACK_DEPTH)
+
+
 BASE_SHIFT = 12  # leaf base index split: base = hi * 2^12 + lo, both exact f32
 
 
@@ -170,6 +206,18 @@ def pack_records(nodes: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     child_meta = nodes["child_meta"]    # [Nn, W, 3]
     Nn, W, _ = child_box.shape
     assert W == WIDTH
+
+    # Stack-safety invariant: traversal pops one ref and pushes up to W
+    # children per internal visit, so the worst-case live stack is
+    # depth*(W-1)+1 entries.  Both traversal paths use FIXED stacks
+    # (pallas_traverse.MAX_STACK SMEM rows, traverse.STACK_DEPTH one-hot
+    # slots); a builder change that deepens the tree must fail HERE, at
+    # pack time, not as a silent SMEM overflow in the kernel.
+    depth = tree_depth(child_meta)
+    need = depth * (W - 1) + 1
+    limit = _stack_limit()
+    assert need <= limit, (
+        f"BVH depth {depth} needs stack {need} > traversal capacity {limit}")
 
     counts = child_meta[:, :, 2]
     leaf_mask = counts > 0
@@ -223,16 +271,7 @@ def make_packed_records(tri_lo: np.ndarray, tri_hi: np.ndarray,
 
     Uses the native C++ builder for large meshes (lucy-class inputs take
     minutes through the Python builder), numpy otherwise/as fallback."""
-    nodes = None
-    if tri_lo.shape[0] >= NATIVE_MIN_TRIS:
-        from ..native import native_build_bvh_wide
-        result = native_build_bvh_wide(tri_lo.astype(np.float32),
-                                       tri_hi.astype(np.float32),
-                                       LEAF_SIZE, WIDTH)
-        if result is not None:
-            nodes, order = result
-    if nodes is None:
-        nodes, order = build_bvh_wide(tri_lo, tri_hi)
+    nodes, order = build_nodes(tri_lo, tri_hi)
     return pack_records(nodes, v0[order], v1[order], v2[order]), order
 
 
