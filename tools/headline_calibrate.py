@@ -81,6 +81,8 @@ def metrics(a, b, label):
 
     p99, rel = p99_rel(a, b)
     bp99, _ = p99_rel(box3(a), box3(b))
+    p50 = float(np.percentile(rel, 50))
+    p90 = float(np.percentile(rel, 90))
 
     # firefly-symmetric: drop the union of each image's top-0.05% pixels
     # (by per-pixel mean radiance) before taking the percentile
@@ -90,8 +92,8 @@ def metrics(a, b, label):
     keep = (la < qa) & (lb < qb)
     ff_p99 = float(np.percentile(rel[keep], 99))
 
-    out = {"label": label, "rel_mean": rel_mean, "p99": p99,
-           "blur_p99": bp99, "firefly_sym_p99": ff_p99,
+    out = {"label": label, "rel_mean": rel_mean, "p50": p50, "p90": p90,
+           "p99": p99, "blur_p99": bp99, "firefly_sym_p99": ff_p99,
            "n_excluded": int((~keep).sum())}
     print(json.dumps(out), flush=True)
     return out
