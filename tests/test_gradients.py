@@ -155,3 +155,85 @@ def test_gradients_nonzero(setup):
     assert float(jnp.abs(grads["light_radiance"]).sum()) > 0
     assert float(jnp.abs(grads["cam_eye"]).sum()) > 0
     assert float(jnp.abs(grads["cam_fov"]).sum()) > 0
+
+
+# ------------------------------------------------------------------ mesh
+
+MESH_SCENE = """version: 1
+
+scene_parameters {
+    output_file_name: "gm.pfm"
+    width: 16
+    height: 16
+    max_depth: 3
+    integrator: iterative_rrnee
+}
+
+perspective_camera {
+    origin: 0.0 2.0 5.0
+    look_at: 0.0 1.0 0.0
+    fov: 45
+}
+
+material_lambertian {
+    name: "red"
+    diffuse: 0.6 0.2 0.2
+}
+
+material_lambertian {
+    name: "grey"
+    diffuse: 0.5 0.5 0.5
+}
+
+mesh {
+    file: "ico.ply"
+    translate: 0.0 1.0 0.0
+    material: "red"
+}
+
+plane {
+    material: "grey"
+}
+
+sphere_light {
+    translate: 0.0 4.0 0.0
+    radiance: 10.0 10.0 10.0
+}
+"""
+
+
+def test_mesh_albedo_grad_matches_fd(tmp_path):
+    """FD-gradient on a MESH scene (VERDICT r3 task 6): autodiff through
+    the triangle/BVH traversal path must match finite differences on the
+    mesh material's albedo — the flagship geometry pipeline, not just the
+    analytic-sphere path the other cases cover."""
+    import os
+
+    from simplepath_tpu.io.meshgen import icosphere, write_ply
+
+    v, f = icosphere(1)  # 80 faces -> above BVH_MIN_TRIS, BVH path active
+    write_ply(os.path.join(tmp_path, "ico.ply"), v.astype(np.float32), f)
+    scene = build_scene(parse_sp(MESH_SCENE, base_dir=str(tmp_path)))
+    assert scene.static.num_triangles == 80 and scene.static.has_bvh
+
+    n = 16 * 16
+    xs = jnp.arange(n, dtype=jnp.int32) % 16
+    ys = jnp.arange(n, dtype=jnp.int32) // 16
+    key = jax.random.PRNGKey(5)
+    params = get_params(scene)
+    target = jnp.full((n, 3), 0.25, jnp.float32)
+
+    def loss(p):
+        return render_loss(scene, p, target, xs, ys, spp=4, key=key)
+
+    loss_jit = jax.jit(loss)
+    grads = jax.jit(jax.grad(loss))(params)
+    assert all(bool(jnp.isfinite(g).all()) for g in
+               jax.tree_util.tree_leaves(grads))
+
+    # material 0 = "red" (the mesh's): FD on its red channel
+    g_ad = float(grads["mat_albedo"][0, 0])
+    g_fd = fd(loss_jit, params, "mat_albedo", (0, 0), 1e-3)
+    tol = max(0.08 * max(abs(g_fd), abs(g_ad)), 2e-3)
+    assert abs(g_ad - g_fd) < tol, f"ad={g_ad:.6f} fd={g_fd:.6f}"
+    assert abs(g_ad) > 1e-5, "mesh albedo gradient is zero"
