@@ -81,6 +81,42 @@ def test_golden(name):
     assert p90 < 0.35, f"blurred p90 relative error {p90:.3f}"
 
 
+# ------------------------------------------------------- matched-spp tier
+
+# Round-4 tightening (VERDICT r3 task 7): the cheapest goldens are also
+# compared UNBLURRED at the golden's full spp.  Like the headline tier,
+# absolute per-pixel gates are the wrong model — at matched spp ref-vs-ours
+# equals same-estimator cross-key noise, so the gates are 1.5x the measured
+# per-scene self-noise floors (ours rendered twice with independent keys;
+# tools note: floors regenerate via the snippet in tests/golden/
+# matched_floors.json's git history).  Measured ref-vs-ours sits ON the
+# floor for every scene (e.g. g_bf p99 0.2707 vs floor 0.2703).
+with open(os.path.join(GOLDEN, "matched_floors.json")) as f:
+    MATCHED_FLOORS = json.load(f)
+
+
+@pytest.mark.parametrize("name", sorted(MATCHED_FLOORS))
+def test_golden_matched_spp(name):
+    info = MANIFEST[name]
+    floor = MATCHED_FLOORS[name]
+    ref = read_pfm(os.path.join(GOLDEN, name + ".pfm"))
+    scene = load_scene(os.path.join(SCENES, name + ".sp"))
+    img = np.asarray(render_image(scene, spp=info["spp"],
+                                  key=jax.random.PRNGKey(17)))
+
+    mean_ref, mean_ours = float(ref.mean()), float(img.mean())
+    rel_mean = abs(mean_ours - mean_ref) / mean_ref
+    assert rel_mean < max(0.005, 3 * floor["rel_mean"]), (
+        f"mean: ref={mean_ref:.5f} ours={mean_ours:.5f}")
+
+    scale = np.maximum(ref.mean(axis=2), 0.05 * max(mean_ref, 1e-3))
+    rel = np.abs(ref - img).mean(axis=2) / scale
+    p90 = float(np.percentile(rel, 90))
+    p99 = float(np.percentile(rel, 99))
+    assert p90 < 1.5 * floor["p90"], f"p90 {p90:.4f} vs floor {floor['p90']:.4f}"
+    assert p99 < 1.5 * floor["p99"], f"p99 {p99:.4f} vs floor {floor['p99']:.4f}"
+
+
 # ---------------------------------------------------------------- headline
 
 ROOT = os.path.dirname(HERE)
