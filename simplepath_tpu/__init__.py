@@ -7,6 +7,33 @@ RNG, mesh-sharded wavefront rendering, and differentiable rendering w.r.t.
 scene parameters.
 """
 
+import os as _os
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (the reference has no compile step;
+    our analog of its instant cold start).  The flagship integrator compiles
+    in ~30 s on TPU; with the on-disk cache a repeat invocation — a new CLI
+    run, the bench, CI — deserializes in ~1 s.  Opt out with
+    SIMPLEPATH_COMPILE_CACHE=0 or point elsewhere via
+    JAX_COMPILATION_CACHE_DIR."""
+    if _os.environ.get("SIMPLEPATH_COMPILE_CACHE", "1") == "0":
+        return
+    import jax
+    path = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:  # older jax without the knobs: cold compiles only
+        pass
+
+
+_enable_compile_cache()
+
 from .scene.build import build_scene, load_scene
 from .scene.parser import parse_sp
 from .render.film import render_image, render_rays

@@ -58,6 +58,24 @@ def replicate_scene(mesh: Mesh, scene: Scene) -> Scene:
 # executable for every chunk.
 CHUNK_RAYS_PER_DEVICE = 1 << 16
 
+# The spp accumulation is a fori_loop INSIDE one dispatch (film.py).  On the
+# slow vmapped-XLA fallback a 64k-ray x 32-spp chunk is a single ~13-minute
+# device program, which trips the TPU's long-dispatch watchdog and kills the
+# worker ("TPU device error", reproduced at 512^2/32spp; 8spp of the same
+# chunk executes in ~190 s).  When the fallback is active on TPU, split spp
+# across dispatches of at most this many samples; spp_offset carries absolute
+# sample indices so the RNG stream — and hence the image — is identical.
+MAX_FALLBACK_SPP_PER_DISPATCH = 4
+
+
+def _spp_splits(spp: int) -> list[tuple[int, int]]:
+    """(offset, count) dispatch pieces for the active traversal backend."""
+    from ..render.traverse import _pallas_enabled
+    if jax.default_backend() != "tpu" or _pallas_enabled():
+        return [(0, spp)]
+    step = MAX_FALLBACK_SPP_PER_DISPATCH
+    return [(o, min(step, spp - o)) for o in range(0, spp, step)]
+
 
 _RENDER_RAYS_JIT = None
 
@@ -98,13 +116,20 @@ def render_image_sharded(scene: Scene, spp: int, key, mesh: Mesh | None = None,
 
     chunk = (chunk_rays or CHUNK_RAYS_PER_DEVICE) * n_dev
     fn = _render_rays_jit()
-    s0 = jnp.asarray(spp_offset, jnp.int32)
+    splits = _spp_splits(spp)
+
+    def _render_chunk(xs, ys):
+        acc = None
+        for off, cnt in splits:
+            s0 = jnp.asarray(spp_offset + off, jnp.int32)
+            part = fn(scene, xs, ys, spp=cnt, key=key, integrator=integrator,
+                      spp_offset=s0) * (cnt / spp)
+            acc = part if acc is None else acc + part
+        return acc
 
     if n <= chunk:
         xs, ys, _ = shard_pixels(mesh, xs_all, ys_all)
-        flat = fn(scene, xs, ys, spp=spp, key=key, integrator=integrator,
-                  spp_offset=s0)
-        return flat[:n].reshape(h, w, 3)
+        return _render_chunk(xs, ys)[:n].reshape(h, w, 3)
 
     n_pad = pad_to_multiple(n, chunk)
     xs_all = jnp.pad(xs_all, (0, n_pad - n))
@@ -113,7 +138,6 @@ def render_image_sharded(scene: Scene, spp: int, key, mesh: Mesh | None = None,
     for c0 in range(0, n_pad, chunk):
         xs = jax.device_put(xs_all[c0:c0 + chunk], sh)
         ys = jax.device_put(ys_all[c0:c0 + chunk], sh)
-        out.append(fn(scene, xs, ys, spp=spp, key=key, integrator=integrator,
-                      spp_offset=s0))
+        out.append(_render_chunk(xs, ys))
     flat = jnp.concatenate(out, axis=0)
     return flat[:n].reshape(h, w, 3)

@@ -307,29 +307,46 @@ def _read_rays(in_refs, p):
 
 def _interleaved_loop(P, visit):
     """Drive P independent packet traversals in one while_loop: each
-    iteration advances every live packet by one visit, so packet p's row DMA
-    (started at the end of its visit) flies under the OTHER packets' VPU
-    work.  State is (sp, buf, ref) per packet; a packet with ref == 0 is
-    done and skipped."""
+    iteration advances every live packet by TWO visits, so packet p's row
+    DMA (started at the end of its visit) flies under the OTHER packets' VPU
+    work.  State is (sp, ref) per packet; a packet with ref == 0 is done and
+    skipped.
+
+    The 2-visit unroll keeps the double-buffer index ``buf`` a PYTHON
+    constant at every call site (visit 1 reads buffer 0, visit 2 buffer 1;
+    a live packet always retires visits in pairs, so the parity never goes
+    dynamic).  That makes every ``rows[gbuf, c]`` scalar read a
+    static-address SMEM load — the scalar core pays a measurable premium
+    for dynamically-based SMEM reads (PERF.md round-3: the per-octant
+    ordering attempt died on exactly this) and the visit body does 56–108
+    of them — and it halves the while-loop condition/state bookkeeping."""
     def cond(state):
-        alive = state[2] != 0.0
+        alive = state[1] != 0.0
         for p in range(1, P):
-            alive = alive | (state[3 * p + 2] != 0.0)
+            alive = alive | (state[2 * p + 1] != 0.0)
         return alive
 
     def body(state, scl, nref_ref):
+        sps = [state[2 * p] for p in range(P)]
+        refs = [state[2 * p + 1] for p in range(P)]
+        # visit order stays interleaved ACROSS packets (A1 B1 A2 B2): packet
+        # p's end-of-visit DMA must fly under the other packets' VPU work,
+        # not under its own semaphore wait
+        for buf in (0, 1):
+            for p in range(P):
+                sp, ref = sps[p], refs[p]
+
+                @pl.when(ref != 0.0)
+                def _():
+                    visit(p, sp, buf, ref)
+
+                live = ref != 0.0
+                sps[p] = jnp.where(live, scl[p], sp)
+                refs[p] = jnp.where(live, nref_ref[p], ref)
         out = []
         for p in range(P):
-            sp, buf, ref = state[3 * p], state[3 * p + 1], state[3 * p + 2]
-
-            @pl.when(ref != 0.0)
-            def _():
-                visit(p, sp, buf, ref)
-
-            live = ref != 0.0
-            out.append(jnp.where(live, scl[p], sp))
-            out.append(jnp.where(live, 1 - buf, buf))
-            out.append(jnp.where(live, nref_ref[p], ref))
+            out.append(sps[p])
+            out.append(refs[p])
         return tuple(out)
 
     return cond, body
@@ -354,8 +371,7 @@ def _make_closest_kernel(P):
                            rows, stack, scl, nref_ref, sem)
 
         cond, body = _interleaved_loop(P, visit)
-        state0 = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-                  jnp.float32(1.0)) * P
+        state0 = (jnp.zeros((), jnp.int32), jnp.float32(1.0)) * P
         jax.lax.while_loop(cond, lambda s: body(s, scl, nref_ref), state0)
 
     return kernel
@@ -376,8 +392,7 @@ def _make_anyhit_kernel(P):
                           rows, stack, scl, nref_ref, sem)
 
         cond, body = _interleaved_loop(P, visit)
-        state0 = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-                  jnp.float32(1.0)) * P
+        state0 = (jnp.zeros((), jnp.int32), jnp.float32(1.0)) * P
         jax.lax.while_loop(cond, lambda s: body(s, scl, nref_ref), state0)
 
     return kernel

@@ -100,6 +100,21 @@ def test_sharded_train_step(scene):
     assert len(new_params["mat_albedo"].sharding.device_set) == 8
 
 
+def test_spp_split_dispatch_matches_single(scene, monkeypatch):
+    """The TPU-fallback watchdog guard splits spp across dispatches
+    (mesh._spp_splits); absolute spp offsets must make the split image
+    bit-identical (up to fp accumulation) to the one-dispatch render."""
+    import simplepath_tpu.parallel.mesh as pm
+
+    key = jax.random.PRNGKey(7)
+    mesh = make_ray_mesh()
+    one = np.asarray(render_image_sharded(scene, 6, key, mesh))
+    monkeypatch.setattr(pm, "_spp_splits",
+                        lambda spp: [(0, 2), (2, 2), (4, 2)])
+    split = np.asarray(render_image_sharded(scene, 6, key, mesh))
+    np.testing.assert_allclose(split, one, atol=2e-6)
+
+
 def test_progressive_offset_composition():
     """Progressive passes with absolute spp offsets compose to the one-shot
     film (resume-identical sample streams; main.cpp multi-pass scaffolding
