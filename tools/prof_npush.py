@@ -32,7 +32,8 @@ def hist_closest(records, ro, rd, t_min, t_max):
     """P=1 closest-hit that returns per-packet n_push bucket counts."""
 
     def kernel(rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r, tmn_r, tmx_r,
-               records, t_out, i_out, b_out, g_out, h_out,
+               records, t_out, i_out, b_out, g_out,
+               h0_out, h1_out, h2_out, h3_out,
                rows, stack, scl, nref_ref, sem):
         in_refs = (rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r, tmn_r, tmx_r)
         rays = pt._read_rays(in_refs, 0)
@@ -77,8 +78,10 @@ def hist_closest(records, ro, rd, t_min, t_max):
         z = jnp.zeros((), jnp.int32)
         st = jax.lax.while_loop(cond, body,
                                 (z, z, jnp.float32(1.0), z, z, z, z))
-        for b in range(NB):
-            h_out[0, b] = st[3 + b]
+        h0_out[0] = jnp.full((SUB, LANES), st[3], jnp.int32)
+        h1_out[0] = jnp.full((SUB, LANES), st[4], jnp.int32)
+        h2_out[0] = jnp.full((SUB, LANES), st[5], jnp.int32)
+        h3_out[0] = jnp.full((SUB, LANES), st[6], jnp.int32)
 
     n = ro.shape[0]
     n_pad = -(-n // PACKET) * PACKET
@@ -91,17 +94,16 @@ def hist_closest(records, ro, rd, t_min, t_max):
     shp_i = jax.ShapeDtypeStruct((grid, SUB, LANES), jnp.int32)
     blk = pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
-    hshp = jax.ShapeDtypeStruct((grid, NB), jnp.int32)
-    hblk = pl.BlockSpec((1, NB), lambda i: (i, 0), memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=pt._ray_specs(8, 1) + [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
-        out_specs=[blk] * 4 + [hblk],
-        out_shape=[shp, shp_i, shp, shp, hshp],
+        out_specs=[blk] * 4 + [pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
+                                            memory_space=pltpu.VMEM)] * NB,
+        out_shape=[shp, shp_i, shp, shp] + [shp_i] * NB,
         scratch_shapes=pt._scratch(1),
     )(*ins, records)
-    return np.asarray(outs[4])
+    return np.stack([np.asarray(outs[4 + b])[:, 0, 0] for b in range(NB)], axis=1)
 
 
 def main():
