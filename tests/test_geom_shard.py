@@ -46,6 +46,74 @@ def test_sharded_matches_replicated(n_shards):
         f"max diff {np.max(np.abs(ours - ref))}")
 
 
+def test_sharded_lucy_class_reduced(tmp_path):
+    """The lucy stress scene's structure (displaced-grid terrain + glossy
+    plane + env light, scenes/lucy_bench.sp / reference scenes/lucy.sp) at
+    reduced scale through the geometry-sharded path on the virtual mesh —
+    the shape of workload geometry sharding exists for, not just the small
+    blob (VERDICT r3 task 3)."""
+    from simplepath_tpu import build_scene, parse_sp
+    from simplepath_tpu.io.meshgen import displaced_grid, write_ply
+
+    v, f = displaced_grid(160)  # ~51k tris — forces the BVH path per shard
+    write_ply(os.path.join(tmp_path, "terrain.ply"), v, f)
+    scene_txt = """version: 1
+scene_parameters {
+    output_file_name: "t.pfm"
+    width: 40
+    height: 28
+    max_depth: 4
+    russian_roulette_depth: 2
+    integrator: iterative_rrnee
+}
+perspective_camera {
+    origin: 0.0 900.0 -2300.0
+    look_at: 0.0 0.0 0.0
+    fov: 45
+}
+material_glossy {
+    name: "terrain"
+    diffuse: 0.7 0.7 0.7
+    ior: 1.3
+    roughness: 0.75
+}
+mesh {
+    file: "terrain.ply"
+    material: "terrain"
+}
+plane {
+    material: "terrain"
+    translate: 0.0 -400.0 0.0
+}
+environment_light {
+    radiance: 1.0 1.0 1.3
+}
+"""
+    key = jax.random.PRNGKey(3)
+    ref = np.asarray(render_image_sharded(
+        build_scene(parse_sp(scene_txt, base_dir=str(tmp_path))),
+        spp=2, key=key))
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), (GEOM_AXIS,))
+    scene = shard_scene_geometry(
+        build_scene(parse_sp(scene_txt, base_dir=str(tmp_path)),
+                    use_bvh=False), mesh)
+    ours = np.asarray(render_image_geom_sharded(scene, spp=2, key=key,
+                                                mesh=mesh))
+    assert np.isfinite(ours).all() and ours.max() > 0
+    # The regular grid produces exact closest-hit t-TIES between different
+    # physical triangles on bounce rays; the mono traversal breaks ties by
+    # visit order, the shard combine by argmin shard order, so a handful of
+    # pixels legitimately diverge (diagnosed: camera hits are physically
+    # identical on all rays; divergence starts at bounce 2, 0 pixels at
+    # max_depth<=2, 5/1120 at depth 4).  Gate: <1% tie pixels, everything
+    # else identical.
+    diff = np.abs(ours - ref).max(axis=2)
+    frac_bad = float((diff > 1e-3).mean())
+    assert frac_bad < 0.01, f"{frac_bad:.2%} divergent pixels"
+    assert float(np.abs(ours.mean() - ref.mean())) < 0.01 * ref.mean()
+
+
 def test_cli_geom_shards(tmp_path):
     """The --geom-shards flag end-to-end: parse → shard → render → write."""
     from simplepath_tpu.cli import main
