@@ -170,24 +170,32 @@ def main():
 
     mesh = make_ray_mesh()
 
-    # Warmup: compile the EXACT executable the timed run uses — one
-    # chunk-shaped call at BENCH_SPP (the old 1-spp full-frame warmup
+    # Warmup: compile the EXACT executable(s) the timed run uses — one
+    # chunk-shaped call per spp-split piece (the old 1-spp full-frame warmup
     # compiled a program the timed run never reuses, so the first timed
-    # chunk silently paid a second compile).  With the persistent
+    # chunk silently paid a second compile).  _spp_splits mirrors
+    # render_image_sharded: a single piece on the Pallas path, bounded
+    # pieces on the TPU XLA fallback (watchdog guard).  With the persistent
     # compilation cache (simplepath_tpu._enable_compile_cache) a repeat
     # bench invocation deserializes instead of recompiling.
+    from simplepath_tpu.parallel.mesh import _spp_splits, pad_to_multiple
+
     t0 = time.time()
+    n_frame = scene.static.width * scene.static.height
     n_chunk = CHUNK_RAYS_PER_DEVICE * mesh.devices.size
+    warm_n = n_chunk if n_frame > n_chunk \
+        else pad_to_multiple(n_frame, mesh.devices.size)
     sc = replicate_scene(mesh, scene)
     xs_w, ys_w, _ = shard_pixels(
-        mesh, jnp.arange(n_chunk, dtype=jnp.int32) % scene.static.width,
-        jnp.arange(n_chunk, dtype=jnp.int32) % scene.static.height)
-    out = _render_rays_jit()(sc, xs_w, ys_w, spp=BENCH_SPP,
-                             key=jax.random.PRNGKey(0), integrator=None,
-                             spp_offset=jnp.asarray(0, jnp.int32))
-    float(out.sum())  # force a readback: through the axon tunnel
-    # block_until_ready returns BEFORE the device work drains (observed
-    # 0.02 s "renders"); only a value transfer is a true barrier
+        mesh, jnp.arange(warm_n, dtype=jnp.int32) % scene.static.width,
+        jnp.arange(warm_n, dtype=jnp.int32) % scene.static.height)
+    for off, cnt in _spp_splits(BENCH_SPP):
+        out = _render_rays_jit()(sc, xs_w, ys_w, spp=cnt,
+                                 key=jax.random.PRNGKey(0), integrator=None,
+                                 spp_offset=jnp.asarray(off, jnp.int32))
+        float(out.sum())  # force a readback: through the axon tunnel
+        # block_until_ready returns BEFORE the device work drains (observed
+        # 0.02 s "renders"); only a value transfer is a true barrier
     t_compile = time.time() - t0
     print(f"# warmup(one chunk @ {BENCH_SPP}spp incl. compile): "
           f"{t_compile:.1f}s", file=sys.stderr)

@@ -106,10 +106,27 @@ def main(argv=None) -> int:
             ap.error(f"--geom-shards {args.geom_shards} but only "
                      f"{len(devs)} device(s) visible")
         mesh = Mesh(np.asarray(devs[:args.geom_shards]), (GEOM_AXIS,))
-        scene = shard_scene_geometry(scene, mesh)
-        img = render_image_geom_sharded(scene, args.samples,
-                                        jax.random.PRNGKey(args.seed),
-                                        mesh=mesh)
+        try:
+            scene = shard_scene_geometry(scene, mesh, cache_dir=out_dir)
+        except ValueError as e:
+            ap.error(str(e))
+        if bool(args.checkpoint) or (0 < args.spp_chunk < args.samples):
+            # progressive/checkpointed passes compose with geometry
+            # sharding: each pass renders absolute sample offsets through
+            # the sharded forest
+            chunk = args.spp_chunk or min(16, args.samples)
+            img = render_image_progressive(
+                scene, args.samples, jax.random.PRNGKey(args.seed),
+                chunk=chunk, checkpoint_path=args.checkpoint,
+                progress=not args.no_progress,
+                render_fn=lambda scene, spp, key, integrator=None,
+                spp_offset=0: render_image_geom_sharded(
+                    scene, spp, key, mesh=mesh, integrator=integrator,
+                    spp_offset=spp_offset))
+        else:
+            img = render_image_geom_sharded(scene, args.samples,
+                                            jax.random.PRNGKey(args.seed),
+                                            mesh=mesh)
     elif bool(args.checkpoint) or (0 < args.spp_chunk < args.samples):
         chunk = args.spp_chunk or min(16, args.samples)
         img = render_image_progressive(

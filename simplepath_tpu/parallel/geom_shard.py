@@ -99,13 +99,19 @@ def _morton_slices(v0, v1, v2, n_shards: int) -> list[np.ndarray]:
     return np.array_split(order, n_shards)
 
 
-def shard_scene_geometry(scene, mesh: Mesh):
+def shard_scene_geometry(scene, mesh: Mesh, cache_dir: str | None = None):
     """Host-side forest build: returns a Scene whose bvh.records is
     [D, M, 128] sharded over mesh's GEOM_AXIS and whose triangle tables are
     globally reordered so each shard's leaves index a contiguous slice.
 
     The input scene must have triangles and may be freshly loaded with
-    ``use_bvh=False`` (any existing mono-BVH ordering is discarded)."""
+    ``use_bvh=False`` (any existing mono-BVH ordering is discarded).
+
+    With ``cache_dir`` the forest build (Morton sort + D sub-BVH builds,
+    minutes of host time at lucy scale) is persisted in that directory's
+    ``.spcache/``, keyed by the triangle CONTENT (sha1 of the baked vertex
+    tables — the scene arrives already baked here, so the file-identity key
+    scene/cache.py uses is not available) plus the shard count."""
     import dataclasses
 
     from ..scene.bvh import build_nodes, pack_records
@@ -113,6 +119,11 @@ def shard_scene_geometry(scene, mesh: Mesh):
 
     D = int(np.prod([mesh.shape[a] for a in (GEOM_AXIS,)]))
     tri = scene.triangles
+    n_tris = int(np.asarray(tri.v0x).shape[0])
+    if n_tris < D:
+        raise ValueError(
+            f"geometry sharding needs at least one triangle per shard: "
+            f"scene has {n_tris} triangle(s), requested {D} shard(s)")
     v0 = np.stack([np.asarray(tri.v0x), np.asarray(tri.v0y), np.asarray(tri.v0z)], 1)
     v1 = np.stack([np.asarray(tri.v1x), np.asarray(tri.v1y), np.asarray(tri.v1z)], 1)
     v2 = np.stack([np.asarray(tri.v2x), np.asarray(tri.v2y), np.asarray(tri.v2z)], 1)
@@ -121,29 +132,55 @@ def shard_scene_geometry(scene, mesh: Mesh):
     n2 = np.stack([np.asarray(tri.n2x), np.asarray(tri.n2y), np.asarray(tri.n2z)], 1)
     mid = np.asarray(tri.material_id)
 
-    slices = _morton_slices(v0, v1, v2, D)
-    recs, global_order = [], []
-    off = 0
-    for sl in slices:
-        sv0, sv1, sv2 = v0[sl], v1[sl], v2[sl]
-        lo = np.minimum(np.minimum(sv0, sv1), sv2)
-        hi = np.maximum(np.maximum(sv0, sv1), sv2)
-        nodes, order = build_nodes(lo, hi)  # native C++ for lucy-class shards
-        recs.append(pack_records(nodes, sv0[order], sv1[order], sv2[order],
-                                 base_offset=off))
-        global_order.append(sl[order])
-        off += len(sl)
-    M = max(r.shape[0] for r in recs)
-    stacked = np.zeros((D, M, recs[0].shape[1]), np.float32)
-    for d, r in enumerate(recs):
-        stacked[d, :r.shape[0]] = r
-    order = np.concatenate(global_order)
+    key = None
+    if cache_dir is not None:
+        import hashlib
+
+        from ..scene.cache import load_geometry, save_geometry
+        h = hashlib.sha1()
+        h.update(f"forest:{D}:".encode())
+        h.update(v0.tobytes())
+        h.update(mid.tobytes())
+        h.update(np.float64(v1.sum() + 2.0 * v2.sum()).tobytes())
+        key = h.hexdigest()
+        cached = load_geometry(cache_dir, key)
+    else:
+        cached = None
+
+    if cached is not None:
+        stacked = cached["records"]
+        tv0, tv1, tv2 = cached["v0"], cached["v1"], cached["v2"]
+        tn0, tn1, tn2 = cached["n0"], cached["n1"], cached["n2"]
+        tmid = cached["material_id"]
+    else:
+        slices = _morton_slices(v0, v1, v2, D)
+        recs, global_order = [], []
+        off = 0
+        for sl in slices:
+            sv0, sv1, sv2 = v0[sl], v1[sl], v2[sl]
+            lo = np.minimum(np.minimum(sv0, sv1), sv2)
+            hi = np.maximum(np.maximum(sv0, sv1), sv2)
+            nodes, order = build_nodes(lo, hi)  # native C++ at lucy scale
+            recs.append(pack_records(nodes, sv0[order], sv1[order],
+                                     sv2[order], base_offset=off))
+            global_order.append(sl[order])
+            off += len(sl)
+        M = max(r.shape[0] for r in recs)
+        stacked = np.zeros((D, M, recs[0].shape[1]), np.float32)
+        for d, r in enumerate(recs):
+            stacked[d, :r.shape[0]] = r
+        order = np.concatenate(global_order)
+        tv0, tv1, tv2 = v0[order], v1[order], v2[order]
+        tn0, tn1, tn2 = n0[order], n1[order], n2[order]
+        tmid = mid[order]
+        if key is not None:
+            save_geometry(cache_dir, key, dict(
+                records=stacked, v0=tv0, v1=tv1, v2=tv2,
+                n0=tn0, n1=tn1, n2=tn2, material_id=tmid))
 
     records = jax.device_put(jnp.asarray(stacked),
                              NamedSharding(mesh, P(GEOM_AXIS)))
-    triangles = TriangleArrays.from_rows(v0[order], v1[order], v2[order],
-                                         n0[order], n1[order], n2[order],
-                                         mid[order])
+    triangles = TriangleArrays.from_rows(tv0, tv1, tv2, tn0, tn1, tn2, tmid)
     static = dataclasses.replace(scene.static, has_bvh=True,
                                  geom_shards=D)
     return dataclasses.replace(scene, static=static, triangles=triangles,
@@ -163,7 +200,7 @@ def render_image_geom_sharded(scene, spp: int, key, mesh: Mesh,
     Rays are chunked on host to bound live-wavefront memory."""
     import jax.numpy as jnp
 
-    from ..render.film import render_rays
+    from .mesh import _render_rays_jit, _spp_splits
 
     h, w = scene.static.height, scene.static.width
     ys_g, xs_g = np.meshgrid(np.arange(h, dtype=np.int32),
@@ -174,15 +211,24 @@ def render_image_geom_sharded(scene, spp: int, key, mesh: Mesh,
     xs_all = np.pad(xs_all, (0, n_pad - n))
     ys_all = np.pad(ys_all, (0, n_pad - n))
 
-    fn = jax.jit(render_rays, static_argnames=("spp", "integrator"))
-    s0 = jnp.asarray(spp_offset, jnp.int32)
+    # module-cached jit (shared with the ray-sharded path: repeated calls
+    # reuse one compiled executable) + the TPU-fallback watchdog guard —
+    # the slow vmapped path must split spp across dispatches here exactly
+    # as in render_image_sharded (see mesh.MAX_FALLBACK_SPP_PER_DISPATCH)
+    fn = _render_rays_jit()
+    splits = _spp_splits(spp)
     out = []
     with set_geom_mesh(mesh):
         for c0 in range(0, n_pad, chunk_rays):
-            out.append(fn(scene, jnp.asarray(xs_all[c0:c0 + chunk_rays]),
-                          jnp.asarray(ys_all[c0:c0 + chunk_rays]),
-                          spp=spp, key=key, integrator=integrator,
-                          spp_offset=s0))
+            xs = jnp.asarray(xs_all[c0:c0 + chunk_rays])
+            ys = jnp.asarray(ys_all[c0:c0 + chunk_rays])
+            acc = None
+            for off, cnt in splits:
+                s0 = jnp.asarray(spp_offset + off, jnp.int32)
+                part = fn(scene, xs, ys, spp=cnt, key=key,
+                          integrator=integrator, spp_offset=s0) * (cnt / spp)
+                acc = part if acc is None else acc + part
+            out.append(acc)
         flat = jnp.concatenate(out, axis=0)
         return flat[:n].reshape(h, w, 3)
 

@@ -105,7 +105,8 @@ def render_image_progressive(scene: Scene, spp: int, key: Array,
                              chunk: int = 16,
                              checkpoint_path: str | None = None,
                              checkpoint_every: int = 64,
-                             progress: bool = False):
+                             progress: bool = False,
+                             render_fn=None):
     """Chunked render with optional checkpoint/resume.
 
     Renders in ``chunk``-spp passes, accumulating an unaveraged film sum;
@@ -115,11 +116,18 @@ def render_image_progressive(scene: Scene, spp: int, key: Array,
     (TileScheduler.h:12-16, num_passes=1 at main.cpp:111).  Sample streams
     are keyed by absolute sample index, so a resumed render is identical to
     an uninterrupted one.
+
+    ``render_fn(scene, spp, key, integrator=..., spp_offset=...)`` overrides
+    the per-pass renderer (default: the ray-sharded path) — the CLI uses
+    this to run geometry-sharded renders progressively.
     """
     import numpy as np
 
     from ..parallel.mesh import render_image_sharded
     from ..utils import ProgressBar, load_checkpoint, save_checkpoint
+
+    if render_fn is None:
+        render_fn = render_image_sharded
 
     h, w = scene.static.height, scene.static.width
     film_sum = np.zeros((h, w, 3), np.float32)
@@ -141,8 +149,8 @@ def render_image_progressive(scene: Scene, spp: int, key: Array,
         # each pass renders absolute samples [done, done+n) through the
         # sharded + ray-chunked path (bounded memory at any resolution); the
         # traced spp_offset means one compiled program serves every pass
-        img = render_image_sharded(scene, n, key, integrator=integrator,
-                                   spp_offset=done)
+        img = render_fn(scene, n, key, integrator=integrator,
+                        spp_offset=done)
         film_sum = film_sum + np.asarray(img) * n
         done += n
         if bar:

@@ -163,17 +163,22 @@ def _build_geometry(mesh_jobs, use_bvh: bool | None) -> dict:
         return dict(records=None, v0=z, v1=z, v2=z, n0=z, n1=z, n2=z,
                     material_id=np.zeros((0,), np.int32))
 
-    key = None
     base_dir = os.path.dirname(os.path.abspath(mesh_jobs[0][0]))
-    if use_bvh is not False:
-        try:
-            key = geometry_cache_key(mesh_jobs)
-        except OSError:
-            key = None
-        if key is not None:
-            cached = load_geometry(base_dir, key)
-            if cached is not None:
-                return cached
+    try:
+        key = geometry_cache_key(mesh_jobs)
+    except OSError:
+        key = None
+    # bake-only loads (use_bvh=False, e.g. for geometry sharding) cache the
+    # baked triangle tables under a distinct key: a 28.9M-tri PLY parse +
+    # world bake costs minutes that sharded runs would otherwise re-pay
+    if use_bvh is False and key is not None:
+        key = key + "_bake"
+    if key is not None:
+        cached = load_geometry(base_dir, key)
+        if cached is not None:
+            if cached["records"].size == 0:
+                cached["records"] = None
+            return cached
 
     tri_v, tri_n, tri_m = [], [], []
     for path, linear, translation, mid in mesh_jobs:
@@ -209,8 +214,11 @@ def _build_geometry(mesh_jobs, use_bvh: bool | None) -> dict:
 
     out = dict(records=records, v0=v0, v1=v1, v2=v2, n0=n0, n1=n1, n2=n2,
                material_id=tm)
-    if key is not None and records is not None:
-        save_geometry(base_dir, key, out)
+    if key is not None and (records is not None or use_bvh is False):
+        save = dict(out)
+        if save["records"] is None:
+            save["records"] = np.zeros((0, 0), np.float32)
+        save_geometry(base_dir, key, save)
     return out
 
 

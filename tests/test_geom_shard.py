@@ -128,6 +128,31 @@ def test_cli_geom_shards(tmp_path):
     assert np.isfinite(img).all() and img.max() > 0
 
 
+def test_cli_geom_shards_checkpoint(tmp_path):
+    """--geom-shards composes with --spp-chunk/--checkpoint (round-4 review
+    finding: the flags were silently dropped on the sharded path)."""
+    from simplepath_tpu.cli import main
+    from simplepath_tpu.io.pfm import read_pfm
+
+    out = tmp_path / "blob.pfm"
+    ck = tmp_path / "ck.npz"
+    rc = main([BLOB, "--samples", "4", "--geom-shards", "2",
+               "--spp-chunk", "2", "--checkpoint", str(ck),
+               "--output", str(out), "--platform", "cpu", "--no-progress"])
+    assert rc == 0
+    assert ck.exists(), "checkpoint was not written"
+    img = read_pfm(str(out))
+    assert np.isfinite(img).all() and img.max() > 0
+
+    # the checkpointed progressive render equals the one-shot sharded render
+    key = jax.random.PRNGKey(0)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), (GEOM_AXIS,))
+    scene = shard_scene_geometry(load_scene(BLOB, use_bvh=False), mesh)
+    one = np.asarray(render_image_geom_sharded(scene, spp=4, key=key,
+                                               mesh=mesh))
+    np.testing.assert_allclose(img, one, atol=2e-6)
+
+
 def test_too_many_shards_errors(tmp_path):
     from simplepath_tpu.cli import main
 

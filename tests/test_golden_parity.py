@@ -170,9 +170,10 @@ def test_headline_spp_matched():
     step, total = 32, info["spp"]
     img = np.zeros(ref.shape, np.float64)
     for s0 in range(0, total, step):
-        part = render_image_sharded(scene, spp=step,
+        cnt = min(step, total - s0)  # guard a non-multiple spp
+        part = render_image_sharded(scene, spp=cnt,
                                     key=jax.random.PRNGKey(3), spp_offset=s0)
-        img += np.asarray(part, np.float64) * (step / total)
+        img += np.asarray(part, np.float64) * (cnt / total)
     img = img.astype(np.float32)
     assert img.shape == ref.shape
 

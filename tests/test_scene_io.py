@@ -212,6 +212,48 @@ mesh {{ file: "{ply}" material: "m" translate: 0.1 0.2 0.3 }}
                      (s1.triangles.material_id, s2.triangles.material_id)]:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_bake_only_cache(self, tmp_path, monkeypatch):
+        """use_bvh=False loads (the geometry-sharding front door) cache the
+        baked triangle tables under a distinct key and round-trip them."""
+        from simplepath_tpu import load_scene
+        from simplepath_tpu.scene import cache
+        monkeypatch.setattr(cache, "CACHE_MIN_TRIS", 0)
+        sp = self._write(tmp_path)
+        s1 = load_scene(sp, use_bvh=False)
+        assert s1.bvh is None or s1.bvh.records is None
+        names = os.listdir(tmp_path / ".spcache")
+        assert any(n.endswith("_bake.npz") for n in names), names
+        s2 = load_scene(sp, use_bvh=False)
+        assert s2.bvh is None or s2.bvh.records is None
+        np.testing.assert_array_equal(np.asarray(s1.triangles.v0),
+                                      np.asarray(s2.triangles.v0))
+        # the bake entry must not be served to a BVH load
+        s3 = load_scene(sp)
+        assert s3.bvh is not None and s3.bvh.records is not None
+
+    def test_forest_cache(self, tmp_path, monkeypatch):
+        """shard_scene_geometry(cache_dir=...) persists the sharded forest
+        and a warm call reproduces it bit-identically."""
+        import jax
+        from jax.sharding import Mesh
+        from simplepath_tpu import load_scene
+        from simplepath_tpu.parallel.geom_shard import (GEOM_AXIS,
+                                                        shard_scene_geometry)
+        from simplepath_tpu.scene import cache
+        monkeypatch.setattr(cache, "CACHE_MIN_TRIS", 0)
+        sp = self._write(tmp_path)
+        mesh = Mesh(np.asarray(jax.devices()[:2]), (GEOM_AXIS,))
+        sc1 = shard_scene_geometry(load_scene(sp, use_bvh=False), mesh,
+                                   cache_dir=str(tmp_path))
+        names = os.listdir(tmp_path / ".spcache")
+        assert len(names) >= 2  # bake entry + forest entry
+        sc2 = shard_scene_geometry(load_scene(sp, use_bvh=False), mesh,
+                                   cache_dir=str(tmp_path))
+        np.testing.assert_array_equal(np.asarray(sc1.bvh.records),
+                                      np.asarray(sc2.bvh.records))
+        np.testing.assert_array_equal(np.asarray(sc1.triangles.v0),
+                                      np.asarray(sc2.triangles.v0))
+
     def test_invalidated_by_mesh_change(self, tmp_path, monkeypatch):
         import os
         from simplepath_tpu import load_scene

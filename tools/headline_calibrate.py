@@ -51,12 +51,13 @@ def render_full(scene, spp, key, ckpt_path, step=32):
         img, s_start = d["img"], int(d["s0"])
         print(f"  resuming from pass {s_start}", flush=True)
     for s0 in range(s_start, spp, step):
+        cnt = min(step, spp - s0)  # last pass may be short; weight by cnt
         t0 = time.time()
-        part = render_image_sharded(scene, spp=step, key=key, spp_offset=s0)
+        part = render_image_sharded(scene, spp=cnt, key=key, spp_offset=s0)
         part = np.asarray(part, np.float64)
-        img += part * (step / spp)
-        np.savez(ckpt_path, img=img, s0=s0 + step)
-        print(f"  pass {s0:4d}+{step}: {time.time()-t0:.1f}s", flush=True)
+        img += part * (cnt / spp)
+        np.savez(ckpt_path, img=img, s0=s0 + cnt)
+        print(f"  pass {s0:4d}+{cnt}: {time.time()-t0:.1f}s", flush=True)
     return img.astype(np.float32)
 
 

@@ -48,12 +48,13 @@ def main():
     key = jax.random.PRNGKey(0)
     t0 = time.time()
     img = render_image_sharded(scene, spp=spp, key=key)
-    img.block_until_ready()
+    mean = float(np.asarray(img).mean())  # true barrier (readback)
     t_render = time.time() - t0
     paths = h * w * spp
+    n_chips = len(jax.devices())
     print(f"render {w}x{h} @ {spp}spp: {t_render:.0f}s "
-          f"({paths / t_render / 1e3:.1f}k paths/s/chip); "
-          f"mean {float(np.asarray(img).mean()):.5f}", flush=True)
+          f"({paths / t_render / n_chips / 1e3:.1f}k paths/s/chip "
+          f"on {n_chips} chip(s)); mean {mean:.5f}", flush=True)
 
 
 if __name__ == "__main__":
