@@ -21,13 +21,16 @@ stay replicated in this implementation — records are the dominant term
 (e.g. 3.4 GB records vs 2.2 GB tables on the 28.9M-tri lucy scene); the
 same contiguous-slice layout admits sharding them too if ever needed.
 
-Composition with ray sharding: the ``geom`` axis is its own mesh axis; on a
-2-D mesh ("rays", "geom") the wavefront shards over "rays" while each
-record shard lives once per rays-group — the shard_map here names only
-"geom", so both layouts trace identically.
+Composition with ray sharding: on a 2-D mesh ("rays", "geom") the ray
+wavefront shards over "rays" AND the records over "geom" — each device
+traverses only its ray block against its sub-forest, and the min-t/OR
+combine is a collective over the "geom" axis only (pmin/psum/pmax riding
+ICI inside shard_map).  This is the production dp x tp layout: R x G chips
+hold G record shards and each record shard serves R ray blocks.
+``make_geom_mesh(n_geom, n_rays)`` builds either layout.
 
 Usage:
-    mesh = Mesh(devices, ("geom",))
+    mesh = make_geom_mesh(n_geom=4)                   # or (4, n_rays=2)
     scene_sh = shard_scene_geometry(scene, mesh)      # host: forest build
     with set_geom_mesh(mesh):
         img = render_image(scene_sh, spp=..., key=...)  # any integrator
@@ -44,9 +47,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["shard_scene_geometry", "set_geom_mesh", "get_geom_mesh",
            "sharded_closest", "sharded_anyhit", "render_image_geom_sharded",
-           "GEOM_AXIS"]
+           "make_geom_mesh", "GEOM_AXIS", "RAY_AXIS"]
 
 GEOM_AXIS = "geom"
+RAY_AXIS = "rays"
+
+
+def make_geom_mesh(n_geom: int, n_rays: int = 1, devices=None) -> Mesh:
+    """A ("rays", "geom") device mesh.  n_rays=1 degenerates to pure
+    geometry sharding; n_geom * n_rays devices are used."""
+    devices = list(devices if devices is not None else jax.devices())
+    need = n_geom * n_rays
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices for a {n_rays}x{n_geom} "
+                         f"rays x geom mesh, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(n_rays, n_geom)
+    return Mesh(arr, (RAY_AXIS, GEOM_AXIS))
 
 _GEOM_MESH: Mesh | None = None
 
@@ -217,11 +233,19 @@ def render_image_geom_sharded(scene, spp: int, key, mesh: Mesh,
     # as in render_image_sharded (see mesh.MAX_FALLBACK_SPP_PER_DISPATCH)
     fn = _render_rays_jit()
     splits = _spp_splits(spp)
+    # on a 2-D rays x geom mesh the pixel chunks are sharded over RAY_AXIS
+    # (each device renders its block against its sub-forest); on a 1-D
+    # geom mesh they are replicated and the forest combine does the work
+    ray_sh = (NamedSharding(mesh, P(RAY_AXIS))
+              if RAY_AXIS in mesh.axis_names else None)
     out = []
     with set_geom_mesh(mesh):
         for c0 in range(0, n_pad, chunk_rays):
             xs = jnp.asarray(xs_all[c0:c0 + chunk_rays])
             ys = jnp.asarray(ys_all[c0:c0 + chunk_rays])
+            if ray_sh is not None:
+                xs = jax.device_put(xs, ray_sh)
+                ys = jax.device_put(ys, ray_sh)
             acc = None
             for off, cnt in splits:
                 s0 = jnp.asarray(spp_offset + off, jnp.int32)
@@ -257,32 +281,52 @@ def _local_closest(records, ro, rd, t_min, t_max, interpret: bool):
     return (t[None], fi[None], beta[None], gamma[None], valid[None])
 
 
+def _ray_spec(mesh: Mesh):
+    """Rays are sharded over RAY_AXIS when the mesh has one (the 2-D
+    rays x geom production layout), else replicated on every geometry
+    shard (the 1-D layout)."""
+    return P(RAY_AXIS) if RAY_AXIS in mesh.axis_names else P()
+
+
 def sharded_closest(records, ro, rd, t_min, t_max):
     """Closest triangle hit vs the sharded forest → (t, idx, beta, gamma,
-    valid), combined across shards by min-t."""
+    valid), combined ACROSS the geometry axis inside shard_map (pmin on t,
+    lowest-shard-index tie-break, psum field gather from the unique
+    winner).  Rides ICI; no [D, N] host-side materialization.  With a 2-D
+    rays x geom mesh the ray wavefront is simultaneously sharded over
+    RAY_AXIS — each device traverses only its ray block against its
+    sub-forest."""
     shard_map = jax.shard_map
 
     mesh = get_geom_mesh()
     interpret = jax.default_backend() != "tpu"
-    spec_r = P(GEOM_AXIS)
-    rep = P()
-    out = shard_map(
-        lambda rec, o, d, a, b: _local_closest(rec, o, d, a, b, interpret),
-        mesh=mesh,
-        in_specs=(spec_r, rep, rep, rep, rep),
-        out_specs=(spec_r,) * 5,
-        check_vma=False,
-    )(records, ro, rd, t_min, t_max)
-    t_all, fi_all, b_all, g_all, v_all = out          # each [D, N]
-    d = jnp.argmin(t_all, axis=0)                      # nearest shard per ray
-    take = lambda a: jnp.take_along_axis(a, d[None], axis=0)[0]
-    valid = jnp.any(v_all, axis=0)
-    return (jnp.where(valid, take(t_all), jnp.inf), take(fi_all),
-            take(b_all), take(g_all), valid)
+    D = int(mesh.shape[GEOM_AXIS])
+    rspec = _ray_spec(mesh)
+
+    def local(rec, o, d, a, b):
+        t, fi, beta, gamma, valid = (x[0] for x in _local_closest(
+            rec, o, d, a, b, interpret))
+        tmin = jax.lax.pmin(t, GEOM_AXIS)
+        sidx = jax.lax.axis_index(GEOM_AXIS)
+        win = valid & (t == tmin)
+        # deterministic tie-break: the lowest shard index that achieves tmin
+        winner = jax.lax.pmin(jnp.where(win, sidx, D), GEOM_AXIS)
+        mine = win & (sidx == winner)
+        pick = lambda x: jax.lax.psum(jnp.where(mine, x, jnp.zeros_like(x)),
+                                      GEOM_AXIS)
+        any_valid = jax.lax.pmax(valid.astype(jnp.int32), GEOM_AXIS) > 0
+        t_out = jnp.where(any_valid, tmin, jnp.inf)
+        fi_out = jnp.where(any_valid, pick(fi), -1)
+        return t_out, fi_out, pick(beta), pick(gamma), any_valid
+
+    return shard_map(local, mesh=mesh,
+                     in_specs=(P(GEOM_AXIS), rspec, rspec, rspec, rspec),
+                     out_specs=(rspec,) * 5, check_vma=False,
+                     )(records, ro, rd, t_min, t_max)
 
 
 def sharded_anyhit(records, ro, rd, t_min, t_max):
-    """Occlusion vs the sharded forest (OR across shards)."""
+    """Occlusion vs the sharded forest (OR across the geometry axis)."""
     shard_map = jax.shard_map
 
     from ..render.pallas_traverse import packet_anyhit
@@ -291,6 +335,7 @@ def sharded_anyhit(records, ro, rd, t_min, t_max):
 
     mesh = get_geom_mesh()
     interpret = jax.default_backend() != "tpu"
+    rspec = _ray_spec(mesh)
 
     def local(records, ro, rd, a, b):
         rec = records[0]
@@ -301,11 +346,9 @@ def sharded_anyhit(records, ro, rd, t_min, t_max):
                 bvh = BVHArrays(records=rec)
             occ = jax.vmap(lambda o, d_, x, y: _bvh_any(_S, o, d_, x, y))(
                 ro, rd, a, b)
-        return occ[None]
+        return jax.lax.pmax(occ.astype(jnp.int32), GEOM_AXIS) > 0
 
-    rep = P()
-    occ = shard_map(local, mesh=mesh,
-                    in_specs=(P(GEOM_AXIS), rep, rep, rep, rep),
-                    out_specs=P(GEOM_AXIS), check_vma=False,
-                    )(records, ro, rd, t_min, t_max)
-    return jnp.any(occ, axis=0)
+    return shard_map(local, mesh=mesh,
+                     in_specs=(P(GEOM_AXIS), rspec, rspec, rspec, rspec),
+                     out_specs=rspec, check_vma=False,
+                     )(records, ro, rd, t_min, t_max)

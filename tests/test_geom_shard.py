@@ -17,6 +17,7 @@ from jax.sharding import Mesh
 
 from simplepath_tpu import load_scene
 from simplepath_tpu.parallel.geom_shard import (GEOM_AXIS,
+                                                make_geom_mesh,
                                                 render_image_geom_sharded,
                                                 shard_scene_geometry)
 from simplepath_tpu.parallel.mesh import render_image_sharded
@@ -42,6 +43,26 @@ def test_sharded_matches_replicated(n_shards):
                                                 mesh=mesh))
 
     # same estimator, same RNG streams; only fp association differs
+    assert np.max(np.abs(ours - ref)) < 1e-4, (
+        f"max diff {np.max(np.abs(ours - ref))}")
+
+
+@pytest.mark.parametrize("n_rays,n_geom", [(2, 2), (4, 2), (2, 4)])
+def test_sharded_2d_mesh_matches_replicated(n_rays, n_geom):
+    """The production 2-D rays x geom layout: pixels sharded over RAY_AXIS,
+    records over GEOM_AXIS, min-t combine as a geom-axis collective.  Must
+    match the replicated mono-BVH render."""
+    key = jax.random.PRNGKey(11)
+    spp = 4
+
+    ref = np.asarray(render_image_sharded(
+        load_scene(BLOB), spp=spp, key=key))
+
+    mesh = make_geom_mesh(n_geom, n_rays)
+    assert mesh.shape == {"rays": n_rays, "geom": n_geom}
+    scene = shard_scene_geometry(load_scene(BLOB, use_bvh=False), mesh)
+    ours = np.asarray(render_image_geom_sharded(scene, spp=spp, key=key,
+                                                mesh=mesh))
     assert np.max(np.abs(ours - ref)) < 1e-4, (
         f"max diff {np.max(np.abs(ours - ref))}")
 
