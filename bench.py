@@ -151,16 +151,40 @@ def ensure_assets():
             f.write(scene_txt)
 
 
-def main():
-    ensure_assets()
+def compile_health_probe() -> float:
+    """Seconds to compile a fresh ~40-matmul chain with the persistent
+    cache bypassed (unique baked constant ⇒ never a cache hit).  The rig's
+    shared compile service degrades unpredictably (PERF.md round 4: ~5 s
+    healthy, >590 s degraded while EXECUTION stayed normal), so warmup
+    timings are only meaningful alongside this probe; the throughput number
+    itself is unaffected either way."""
+    import numpy as np
+
     import jax
     import jax.numpy as jnp
 
+    c = jnp.asarray(np.random.default_rng().standard_normal(
+        (256, 256)).astype(np.float32))
+
+    @jax.jit
+    def probe(x):
+        for _ in range(40):
+            x = jnp.tanh(x @ c)
+        return x
+
+    t0 = time.time()
+    float(probe(jnp.ones((256, 256), jnp.float32)).sum())
+    return time.time() - t0
+
+
+def main():
+    ensure_assets()
+    import jax
+
     from simplepath_tpu import load_scene
-    from simplepath_tpu.parallel.mesh import (CHUNK_RAYS_PER_DEVICE,
-                                              _render_rays_jit, make_ray_mesh,
+    from simplepath_tpu.parallel.mesh import (make_ray_mesh,
                                               render_image_sharded,
-                                              replicate_scene, shard_pixels)
+                                              warmup_render)
 
     t0 = time.time()
     scene = load_scene(SCENE)
@@ -170,35 +194,18 @@ def main():
 
     mesh = make_ray_mesh()
 
-    # Warmup: compile the EXACT executable(s) the timed run uses — one
-    # chunk-shaped call per spp-split piece (the old 1-spp full-frame warmup
-    # compiled a program the timed run never reuses, so the first timed
-    # chunk silently paid a second compile).  _spp_splits mirrors
-    # render_image_sharded: a single piece on the Pallas path, bounded
-    # pieces on the TPU XLA fallback (watchdog guard).  With the persistent
-    # compilation cache (simplepath_tpu._enable_compile_cache) a repeat
-    # bench invocation deserializes instead of recompiling.
-    from simplepath_tpu.parallel.mesh import _spp_splits, pad_to_multiple
-
-    t0 = time.time()
-    n_frame = scene.static.width * scene.static.height
-    n_chunk = CHUNK_RAYS_PER_DEVICE * mesh.devices.size
-    warm_n = n_chunk if n_frame > n_chunk \
-        else pad_to_multiple(n_frame, mesh.devices.size)
-    sc = replicate_scene(mesh, scene)
-    xs_w, ys_w, _ = shard_pixels(
-        mesh, jnp.arange(warm_n, dtype=jnp.int32) % scene.static.width,
-        jnp.arange(warm_n, dtype=jnp.int32) % scene.static.height)
-    for off, cnt in _spp_splits(BENCH_SPP):
-        out = _render_rays_jit()(sc, xs_w, ys_w, spp=cnt,
-                                 key=jax.random.PRNGKey(0), integrator=None,
-                                 spp_offset=jnp.asarray(off, jnp.int32))
-        float(out.sum())  # force a readback: through the axon tunnel
-        # block_until_ready returns BEFORE the device work drains (observed
-        # 0.02 s "renders"); only a value transfer is a true barrier
-    t_compile = time.time() - t0
+    # Warmup compiles the EXACT executable(s) the timed run uses — shape and
+    # spp-splitting derived inside parallel/mesh from the render path's own
+    # helpers (the round-4 bench bug was a warmup that compiled a program
+    # the timed run never reused).  With the persistent compilation cache a
+    # repeat invocation deserializes instead of recompiling.
+    t_compile = warmup_render(scene, BENCH_SPP, mesh)
     print(f"# warmup(one chunk @ {BENCH_SPP}spp incl. compile): "
           f"{t_compile:.1f}s", file=sys.stderr)
+    t_health = compile_health_probe()
+    print(f"# compile-health probe (fresh 40-matmul chain): {t_health:.1f}s "
+          f"({'healthy' if t_health < 30 else 'DEGRADED compile service'})",
+          file=sys.stderr)
 
     n_runs = int(os.environ.get("BENCH_RUNS", "3"))
     times = []
@@ -230,6 +237,11 @@ def main():
         "value": round(rays_per_s, 1),
         "unit": "paths/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "compile_health": {
+            "warmup_s": round(t_compile, 1),
+            "probe_compile_s": round(t_health, 1),
+            "healthy": t_health < 30,
+        },
     }))
 
 

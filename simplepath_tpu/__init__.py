@@ -20,10 +20,21 @@ def _enable_compile_cache() -> None:
     if _os.environ.get("SIMPLEPATH_COMPILE_CACHE", "1") == "0":
         return
     import jax
-    path = _os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        _os.path.join(_os.path.dirname(_os.path.dirname(
-            _os.path.abspath(__file__))), ".jax_cache"))
+    path = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if path is None:
+        # repo checkout: cache beside the package (shared by CLI/bench/CI
+        # runs of the same tree).  Installed (site-packages) package: fall
+        # back to the user cache dir — the package parent may be read-only
+        # or shared across projects.
+        parent = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        if _os.path.isdir(_os.path.join(parent, ".git")) and \
+                _os.access(parent, _os.W_OK):
+            path = _os.path.join(parent, ".jax_cache")
+        else:
+            path = _os.path.join(
+                _os.environ.get("XDG_CACHE_HOME",
+                                _os.path.expanduser("~/.cache")),
+                "simplepath_tpu", "jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

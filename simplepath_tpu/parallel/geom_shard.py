@@ -152,12 +152,19 @@ def shard_scene_geometry(scene, mesh: Mesh, cache_dir: str | None = None):
     if cache_dir is not None:
         import hashlib
 
-        from ..scene.cache import load_geometry, save_geometry
+        from ..scene.bvh import LEAF_SIZE, RECORD_WIDTH, WIDTH
+        from ..scene.cache import CACHE_VERSION, load_geometry, save_geometry
+        # Full-content key: every table that determines the cached payload is
+        # hashed in full (positions AND normals — normals ride the cache via
+        # the reordered shading tables), salted with the same builder
+        # version/topology constants as scene/cache.geometry_cache_key so a
+        # record-layout bump invalidates forests too.  sha1 over 6 tables is
+        # seconds even at lucy scale vs minutes of forest build.
         h = hashlib.sha1()
-        h.update(f"forest:{D}:".encode())
-        h.update(v0.tobytes())
-        h.update(mid.tobytes())
-        h.update(np.float64(v1.sum() + 2.0 * v2.sum()).tobytes())
+        h.update(f"forest:v{CACHE_VERSION}:{LEAF_SIZE}:{WIDTH}"
+                 f":{RECORD_WIDTH}:{D}:".encode())
+        for arr in (v0, v1, v2, n0, n1, n2, mid):
+            h.update(np.ascontiguousarray(arr).tobytes())
         key = h.hexdigest()
         cached = load_geometry(cache_dir, key)
     else:
@@ -223,6 +230,12 @@ def render_image_geom_sharded(scene, spp: int, key, mesh: Mesh,
                              np.arange(w, dtype=np.int32), indexing="ij")
     xs_all, ys_all = xs_g.reshape(-1), ys_g.reshape(-1)
     n = xs_all.shape[0]
+    # on a 2-D mesh each pixel chunk is sharded over RAY_AXIS, so its length
+    # must divide evenly; round up rather than fail with an opaque
+    # device_put/shard_map sharding error deep in jax
+    if RAY_AXIS in mesh.axis_names:
+        r = int(mesh.shape[RAY_AXIS])
+        chunk_rays = ((chunk_rays + r - 1) // r) * r
     n_pad = ((n + chunk_rays - 1) // chunk_rays) * chunk_rays
     xs_all = np.pad(xs_all, (0, n_pad - n))
     ys_all = np.pad(ys_all, (0, n_pad - n))

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..scene.types import Scene
 
 __all__ = ["make_ray_mesh", "shard_pixels", "replicate_scene",
-           "render_image_sharded", "pad_to_multiple"]
+           "render_image_sharded", "warmup_render", "pad_to_multiple"]
 
 
 def make_ray_mesh(devices=None) -> Mesh:
@@ -89,6 +89,36 @@ def _render_rays_jit():
         _RENDER_RAYS_JIT = jax.jit(render_rays,
                                    static_argnames=("spp", "integrator"))
     return _RENDER_RAYS_JIT
+
+
+def warmup_render(scene: Scene, spp: int, mesh: Mesh | None = None,
+                  chunk_rays: int | None = None) -> float:
+    """Compile (or cache-deserialize) the EXACT executable(s) a subsequent
+    ``render_image_sharded(scene, spp, mesh)`` call runs: one chunk-shaped
+    call per spp-split piece, forced to completion with a value readback
+    (through the axon tunnel ``block_until_ready`` is not a true barrier —
+    PERF.md round 4).  The chunk shape and spp splitting are derived from
+    the same constants/helpers the render path uses, so a chunking change
+    here cannot silently diverge the warmed program from the timed one (the
+    round-4 bench measurement bug).  Returns seconds spent."""
+    import time
+
+    mesh = mesh or make_ray_mesh()
+    n_dev = mesh.devices.size
+    n_frame = scene.static.width * scene.static.height
+    n_chunk = (chunk_rays or CHUNK_RAYS_PER_DEVICE) * n_dev
+    warm_n = n_chunk if n_frame > n_chunk else pad_to_multiple(n_frame, n_dev)
+    sc = replicate_scene(mesh, scene)
+    xs, ys, _ = shard_pixels(
+        mesh, jnp.arange(warm_n, dtype=jnp.int32) % scene.static.width,
+        jnp.arange(warm_n, dtype=jnp.int32) % scene.static.height)
+    fn = _render_rays_jit()
+    t0 = time.time()
+    for off, cnt in _spp_splits(spp):
+        out = fn(sc, xs, ys, spp=cnt, key=jax.random.PRNGKey(0),
+                 integrator=None, spp_offset=jnp.asarray(off, jnp.int32))
+        float(out.sum())  # true barrier (see docstring)
+    return time.time() - t0
 
 
 def render_image_sharded(scene: Scene, spp: int, key, mesh: Mesh | None = None,
