@@ -175,3 +175,33 @@ def test_leaf_base_past_2pow24(mesh):
                                       jnp.asarray(1e-3), jnp.asarray(np.inf))
     np.testing.assert_array_equal(np.asarray(tri_idx)[:count],
                                   base0 + np.arange(count))
+
+
+def test_pack_rejects_tree_deeper_than_traversal_stack(monkeypatch):
+    """The pack-time stack-bound guard (scene/bvh.pack_records): a tree whose
+    worst-case live stack depth*(W-1)+1 exceeds the traversal kernels' fixed
+    stack capacity must FAIL AT PACK TIME — the alternative is a silent SMEM
+    stack overflow corrupting the Pallas kernel.  Balanced proportional
+    splits never get near the real limit, so the guard is exercised by
+    shrinking the reported capacity (monkeypatching _stack_limit, the shared
+    min of pallas MAX_STACK / XLA STACK_DEPTH)."""
+    import simplepath_tpu.scene.bvh as B
+
+    rng = np.random.default_rng(0)
+    v0 = rng.standard_normal((600, 3)).astype(np.float32)
+    v1 = v0 + 0.01
+    v2 = v0 + 0.02
+    lo = np.minimum(np.minimum(v0, v1), v2)
+    hi = np.maximum(np.maximum(v0, v1), v2)
+    # leaf_size=1 deepens the tree (~log8(600) = 3+ internal levels)
+    nodes, order = B.build_bvh_wide(lo, hi, leaf_size=1)
+    depth = B.tree_depth(nodes["child_meta"])
+    assert depth >= 3
+
+    # sanity: the real capacity admits this tree
+    B.pack_records(nodes, v0[order], v1[order], v2[order], leaf_cap=1)
+
+    # capacity below the tree's worst-case live stack -> pack must refuse
+    monkeypatch.setattr(B, "_stack_limit", lambda: depth * (B.WIDTH - 1))
+    with pytest.raises(AssertionError, match="stack"):
+        B.pack_records(nodes, v0[order], v1[order], v2[order], leaf_cap=1)
