@@ -25,7 +25,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..scene.types import Scene
 from .mesh import CHUNK_RAYS_PER_DEVICE, make_ray_mesh, pad_to_multiple
 
-__all__ = ["init_distributed", "render_image_multihost"]
+__all__ = ["init_distributed", "render_image_multihost",
+           "train_step_multihost"]
 
 
 def init_distributed(coordinator_address: str | None = None,
@@ -65,6 +66,52 @@ def _global_from_computed(mesh, np_arr) -> jax.Array:
     sh = NamedSharding(mesh, P("rays"))
     return jax.make_array_from_callback(np_arr.shape, sh,
                                         lambda idx: np_arr[idx])
+
+
+def train_step_multihost(scene: Scene, params, target_flat, xs, ys, spp: int,
+                         key, integrator: str | None = None, lr: float = 0.05,
+                         mesh=None):
+    """One SGD train step with the pixel batch sharded across ALL
+    processes' devices → (new_params numpy pytree, loss float).
+
+    This is the BASELINE north star's distributed-training axis: the loss
+    averages over the globally sharded ray axis, so SPMD AD inserts the
+    scene-parameter gradient all-reduce across the process boundary (psum
+    riding ICI within a host, DCN across hosts) — the multi-process
+    sibling of tests/test_sharding.py::test_sharded_train_step.  Every
+    process passes identical ``scene``/``params``/``target_flat``/``xs``/
+    ``ys`` (host numpy or single-device arrays); results are returned as
+    host-local numpy, identical on every process.
+    """
+    from ..diff.grad import make_train_step
+
+    mesh = mesh or make_ray_mesh()
+    n = int(np.asarray(xs).size)
+    assert n % mesh.devices.size == 0, (
+        f"pixel batch ({n}) must divide the global mesh "
+        f"({mesh.devices.size} devices)")
+
+    gscene = jax.tree_util.tree_map(
+        lambda a: _global_from_replicated(mesh, a), scene)
+    gparams = jax.tree_util.tree_map(
+        lambda a: _global_from_replicated(mesh, a), params)
+    gtarget = _global_from_computed(
+        mesh, np.asarray(target_flat, np.float32))
+    gxs = _global_from_computed(mesh, np.asarray(xs, np.int32))
+    gys = _global_from_computed(mesh, np.asarray(ys, np.int32))
+    if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key):
+        gkey = jax.random.wrap_key_data(
+            _global_from_replicated(mesh, jax.random.key_data(key)))
+    else:
+        gkey = _global_from_replicated(mesh, key)
+
+    step = jax.jit(make_train_step(gscene, spp, integrator, lr))
+    new_params, loss = step(gparams, gtarget, gxs, gys, gkey)
+    # params stay replicated (the psum'd gradient is identical everywhere),
+    # so each process's local shard 0 IS the full value
+    host_params = jax.tree_util.tree_map(
+        lambda a: np.asarray(a.addressable_data(0)), new_params)
+    return host_params, float(np.asarray(loss.addressable_data(0)))
 
 
 def render_image_multihost(scene: Scene, spp: int, key,

@@ -180,3 +180,62 @@ def test_too_many_shards_errors(tmp_path):
     with pytest.raises(SystemExit):
         main([BLOB, "--samples", "1", "--geom-shards", "64",
               "--output", str(tmp_path / "x.pfm")])
+
+
+def test_geom_sharded_albedo_grad_matches_fd():
+    """Autodiff THROUGH the geometry-sharded traversal (VERDICT r4 missing
+    #2): the shard_map pmin/psum combine runs on stop_gradient'd inputs and
+    the winning triangle is re-intersected differentiably
+    (traverse.scene_intersect_batch), so the geom_shard.py claim that
+    'the entire downstream pipeline (shading, NEE, autodiff) is unchanged'
+    must hold literally — the blob material's albedo gradient through a
+    4-shard forest has to match central finite differences AND the
+    replicated-path gradient."""
+    import jax.numpy as jnp
+
+    from simplepath_tpu.diff.grad import get_params, render_loss
+    from simplepath_tpu.parallel.geom_shard import set_geom_mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), (GEOM_AXIS,))
+    scene = shard_scene_geometry(load_scene(BLOB, use_bvh=False), mesh)
+    assert scene.static.geom_shards == 4
+
+    # a 12x12 pixel subsample of the 48x48 frame keeps the FD evals cheap
+    g = np.arange(6, 48, 4, dtype=np.int32)
+    xs_g, ys_g = np.meshgrid(g, g, indexing="xy")
+    xs = jnp.asarray(xs_g.reshape(-1))
+    ys = jnp.asarray(ys_g.reshape(-1))
+    key = jax.random.PRNGKey(2)
+    params = get_params(scene)
+    target = jnp.full((xs.shape[0], 3), 0.25, jnp.float32)
+
+    with set_geom_mesh(mesh):
+        def loss(p):
+            return render_loss(scene, p, target, xs, ys, spp=2, key=key)
+
+        loss_jit = jax.jit(loss)
+        grads = jax.jit(jax.grad(loss))(params)
+        assert all(bool(jnp.isfinite(x).all())
+                   for x in jax.tree_util.tree_leaves(grads))
+
+        # material 1 = "red" (the blob's): FD on its red channel
+        eps = 1e-3
+        pp = dict(params)
+        pp["mat_albedo"] = params["mat_albedo"].at[1, 0].add(eps)
+        pm = dict(params)
+        pm["mat_albedo"] = params["mat_albedo"].at[1, 0].add(-eps)
+        g_fd = (float(loss_jit(pp)) - float(loss_jit(pm))) / (2 * eps)
+
+    g_ad = float(grads["mat_albedo"][1, 0])
+    tol = max(0.08 * max(abs(g_fd), abs(g_ad)), 2e-3)
+    assert abs(g_ad - g_fd) < tol, f"ad={g_ad:.6f} fd={g_fd:.6f}"
+    assert abs(g_ad) > 1e-5, "geom-sharded albedo gradient is zero"
+
+    # and the sharded gradient equals the replicated-path gradient
+    scene_rep = load_scene(BLOB)
+    params_rep = get_params(scene_rep)
+    g_rep = jax.jit(jax.grad(lambda p: render_loss(
+        scene_rep, p, target, xs, ys, spp=2, key=key)))(params_rep)
+    g_rep_v = float(g_rep["mat_albedo"][1, 0])
+    assert abs(g_ad - g_rep_v) < max(0.05 * abs(g_rep_v), 1e-4), \
+        f"sharded {g_ad} vs replicated {g_rep_v}"

@@ -130,3 +130,135 @@ def test_two_process_render_matches_single_process():
         scene = build_scene(parse_sp(SCENE))
         ref = np.asarray(render_image(scene, spp=2, key=jax.random.PRNGKey(0)))
         np.testing.assert_allclose(img0, ref, atol=2e-6)
+
+
+TRAIN_SCENE = """version: 1
+
+scene_parameters {
+    output_file_name: "mht.pfm"
+    width: 8
+    height: 8
+    max_depth: 3
+    integrator: iterative_rrnee
+}
+
+perspective_camera {
+    origin: 0.0 2.0 5.0
+    look_at: 0.0 1.0 0.0
+    fov: 45
+}
+
+material_lambertian {
+    name: "red"
+    diffuse: 0.6 0.2 0.2
+}
+
+material_lambertian {
+    name: "grey"
+    diffuse: 0.5 0.5 0.5
+}
+
+mesh {
+    file: "ico.ply"
+    translate: 0.0 1.0 0.0
+    material: "red"
+}
+
+plane {
+    material: "grey"
+}
+
+sphere_light {
+    translate: 0.0 4.0 0.0
+    radiance: 10.0 10.0 10.0
+}
+"""
+
+TRAIN_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1])
+addr = sys.argv[2]
+out = sys.argv[3]
+root = sys.argv[4]
+sys.path.insert(0, root)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=addr, num_processes=2,
+                           process_id=pid)
+import numpy as np
+from simplepath_tpu import build_scene, parse_sp
+from simplepath_tpu.diff.grad import get_params
+from simplepath_tpu.parallel.multihost import train_step_multihost
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+scene = build_scene(parse_sp(open(os.path.join(out, "scene.sp")).read(),
+                             base_dir=out))
+assert scene.static.has_bvh and scene.static.num_triangles == 80
+params = get_params(scene)
+n = 8 * 8
+xs = np.arange(n, dtype=np.int32) % 8
+ys = np.arange(n, dtype=np.int32) // 8
+target = np.full((n, 3), 0.25, np.float32)
+new_params, loss = train_step_multihost(
+    scene, params, target, xs, ys, spp=2, key=jax.random.PRNGKey(4))
+np.savez(os.path.join(out, f"train_{pid}.npz"), loss=np.float32(loss),
+         **{k: np.asarray(v) for k, v in new_params.items()})
+"""
+
+
+def test_two_process_train_step_matches_single_process(tmp_path):
+    """One gradient step on a mesh+BVH scene with the pixel batch sharded
+    across TWO processes: the scene-parameter gradient psum executes over
+    the process boundary (the north-star distributed-training axis), and
+    the updated params must equal the single-process train step."""
+    import os
+
+    from simplepath_tpu.io.meshgen import icosphere, write_ply
+
+    td = str(tmp_path)
+    v, f = icosphere(1)
+    write_ply(os.path.join(td, "ico.ply"), v.astype(np.float32), f)
+    with open(os.path.join(td, "scene.sp"), "w") as fh:
+        fh.write(TRAIN_SCENE)
+    with open(os.path.join(td, "worker.py"), "w") as fh:
+        fh.write(TRAIN_WORKER)
+    addr = f"localhost:{_free_port()}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(td, "worker.py"), str(pid), addr,
+         td, ROOT],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for pid in (0, 1)]
+    outs = [p.communicate(timeout=560)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o.decode(errors="replace")[-2000:]
+
+    z0 = np.load(os.path.join(td, "train_0.npz"))
+    z1 = np.load(os.path.join(td, "train_1.npz"))
+    # both processes compute the identical update (replicated params)
+    for k in z0.files:
+        np.testing.assert_array_equal(z0[k], z1[k])
+
+    # equals the single-process train step (same batch, same key; only the
+    # device partition of the mean-reduction differs -> fp-level tolerance)
+    import jax
+
+    from simplepath_tpu import build_scene, parse_sp
+    from simplepath_tpu.diff.grad import get_params, make_train_step
+    scene = build_scene(parse_sp(TRAIN_SCENE, base_dir=td))
+    params = get_params(scene)
+    n = 8 * 8
+    xs = np.arange(n, dtype=np.int32) % 8
+    ys = np.arange(n, dtype=np.int32) // 8
+    target = np.full((n, 3), 0.25, np.float32)
+    step = jax.jit(make_train_step(scene, spp=2))
+    ref_params, ref_loss = step(params, target, xs, ys, jax.random.PRNGKey(4))
+    np.testing.assert_allclose(float(z0["loss"]), float(ref_loss), rtol=1e-5)
+    for k, v in ref_params.items():
+        np.testing.assert_allclose(z0[k], np.asarray(v), atol=1e-5,
+                                   err_msg=k)
+    # and the step moved the params (a real gradient, not a zero no-op)
+    assert np.abs(z0["mat_albedo"] - np.asarray(params["mat_albedo"])).max() > 1e-6
