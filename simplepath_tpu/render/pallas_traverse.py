@@ -47,27 +47,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["packet_closest", "packet_anyhit", "PACKET"]
 
+from ..scene.bvh import (LEAF_ROWS as R, LEAF_SIZE as K, RECORD_WIDTH as REC,
+                         WIDTH as W)
+from .traverse import batcher_pairs
+
 SUB, LANES = 8, 128
 PACKET = SUB * LANES            # rays per packet
-W = 8                           # BVH branching factor (scene/bvh.py WIDTH)
-K = 12                          # triangles per leaf (scene/bvh.py LEAF_SIZE)
-REC = 128                       # floats per record row
 MAX_STACK = 96                  # capacity; pack_records asserts the tree fits
                                 # (depth*(W-1)+1 <= min(MAX_STACK, STACK_DEPTH))
 INF = float("inf")
 NEG_INF = float("-inf")
 
-# Batcher odd-even mergesort network for 8 lanes (19 compare-exchanges)
-_SORT8 = ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
-          (1, 2), (5, 6), (0, 4), (1, 5), (2, 6), (3, 7), (2, 4), (3, 5),
-          (1, 2), (3, 4), (5, 6))
+# Batcher odd-even mergesort network (19 compare-exchanges at W=8)
+_SORTW = batcher_pairs(W)
 
 
 def _row_dma(records, rows, sem, buf, ref):
-    """Descriptor for the 512B record-row DMA |ref|-1 → rows[buf]."""
+    """Descriptor for the record-row DMA |ref|-1 → rows[buf*R : buf*R+R].
+
+    R = LEAF_ROWS rows per fetch (512 B each): multi-row leaves need them
+    all; internal visits then carry one junk trailing row — harmless (they
+    read only the first 7W floats) and in-bounds (every leaf owns R rows
+    and internal rows always precede them)."""
     row_idx = jnp.abs(ref).astype(jnp.int32) - 1
-    return pltpu.make_async_copy(records.at[pl.ds(row_idx, 1), :],
-                                 rows.at[pl.ds(buf, 1), :], sem.at[buf])
+    return pltpu.make_async_copy(records.at[pl.ds(row_idx, R), :],
+                                 rows.at[pl.ds(buf * R, R), :], sem.at[buf])
 
 
 def _internal_visit(rows, buf, rep, rox, roy, roz, ivx, ivy, ivz,
@@ -80,11 +84,14 @@ def _internal_visit(rows, buf, rep, rox, roy, roz, ivx, ivy, ivz,
     (``rep`` — a representative ray for approximate ordering — was measured
     slower than the exact min-reduction form and is unused.)
     """
+    base = buf * R
     refs, keys = [], []
     for c in range(W):
-        lox, loy, loz = rows[buf, c], rows[buf, 8 + c], rows[buf, 16 + c]
-        hix, hiy, hiz = rows[buf, 24 + c], rows[buf, 32 + c], rows[buf, 40 + c]
-        cref = rows[buf, 48 + c]
+        lox, loy, loz = (rows[base, c], rows[base, W + c],
+                         rows[base, 2 * W + c])
+        hix, hiy, hiz = (rows[base, 3 * W + c], rows[base, 4 * W + c],
+                         rows[base, 5 * W + c])
+        cref = rows[base, 6 * W + c]
         t0x = (lox - rox) * ivx
         t1x = (hix - rox) * ivx
         t0y = (loy - roy) * ivy
@@ -102,7 +109,7 @@ def _internal_visit(rows, buf, rep, rox, roy, roz, ivx, ivy, ivz,
         valid = (pnear < INF) & (cref != 0.0)
         keys.append(jnp.where(valid, pnear, NEG_INF))
         refs.append(cref)
-    for a, b in _SORT8:
+    for a, b in _SORTW:
         swap = keys[a] < keys[b]
         keys[a], keys[b] = (jnp.where(swap, keys[b], keys[a]),
                             jnp.where(swap, keys[a], keys[b]))
@@ -111,15 +118,21 @@ def _internal_visit(rows, buf, rep, rox, roy, roz, ivx, ivy, ivz,
     return refs, keys
 
 
+def _lr(rows, buf, j):
+    """Flat scalar read at offset j of slot ``buf``'s R fetched rows
+    (j is a Python constant → static SMEM address)."""
+    return rows[buf * R + j // REC, j % REC]
+
+
 def _leaf_meta(rows, buf):
     """Leaf row metadata: (base tri index i32, count i32).
 
     Triangle indices are base + lane (contiguous reordered range); the base
     is stored split into two small exact floats so scenes past 2^24
     triangles (lucy-class) index correctly — see scene/bvh.py."""
-    base = (rows[buf, 9 * K + 1].astype(jnp.int32) << 12) \
-        + rows[buf, 9 * K].astype(jnp.int32)
-    count = rows[buf, 9 * K + 2].astype(jnp.int32)
+    base = (_lr(rows, buf, 9 * K + 1).astype(jnp.int32) << 12) \
+        + _lr(rows, buf, 9 * K).astype(jnp.int32)
+    count = _lr(rows, buf, 9 * K + 2).astype(jnp.int32)
     return base, count
 
 
@@ -127,9 +140,12 @@ def _leaf_tri(rows, buf, k, count, rdx, rdy, rdz, rox, roy, roz, tmn, limit):
     """Shirley test of leaf triangle k against the packet (Triangle.h:97-162).
 
     Returns (t, beta, gamma, hit [8,128])."""
-    v0x, v0y, v0z = rows[buf, k], rows[buf, K + k], rows[buf, 2 * K + k]
-    A, B, C = rows[buf, 3 * K + k], rows[buf, 4 * K + k], rows[buf, 5 * K + k]
-    D, E, F = rows[buf, 6 * K + k], rows[buf, 7 * K + k], rows[buf, 8 * K + k]
+    v0x, v0y, v0z = (_lr(rows, buf, k), _lr(rows, buf, K + k),
+                     _lr(rows, buf, 2 * K + k))
+    A, B, C = (_lr(rows, buf, 3 * K + k), _lr(rows, buf, 4 * K + k),
+               _lr(rows, buf, 5 * K + k))
+    D, E, F = (_lr(rows, buf, 6 * K + k), _lr(rows, buf, 7 * K + k),
+               _lr(rows, buf, 8 * K + k))
     G, H, I = rdx, rdy, rdz
     J = v0x - rox
     Kk = v0y - roy
@@ -418,7 +434,7 @@ def _ray_specs(n_in: int, P: int):
 
 def _scratch(P: int):
     return [
-        pltpu.SMEM((2 * P, REC), jnp.float32),      # double-buffered rows/packet
+        pltpu.SMEM((2 * P * R, REC), jnp.float32),  # double-buffered rows/packet
         pltpu.SMEM((P, MAX_STACK), jnp.float32),    # one stack per packet
         pltpu.SMEM((P,), jnp.int32),                # next-sp scratch
         pltpu.SMEM((P,), jnp.float32),              # next-ref scratch

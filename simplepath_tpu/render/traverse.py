@@ -50,9 +50,15 @@ KIND_TRIANGLE = 0
 KIND_SPHERE = 1
 KIND_PLANE = 2
 
+from ..scene.bvh import (LEAF_ROWS as _LEAF_ROWS, LEAF_SIZE as _LEAF_K,
+                         RECORD_WIDTH as _REC, WIDTH as _W)
+
 # Worst-case stack: tree depth × (WIDTH-1) + 1.  Median splits keep the tree
-# balanced, so depth ≈ ceil(log8(T/6)); 64 covers beyond lucy-scale (28M tris).
-STACK_DEPTH = 64
+# balanced, so depth ≈ ceil(log8(T/6)); 64 covers beyond lucy-scale (28M
+# tris) at W=8.  Wider experimental trees push (W-1) per level, so they get
+# a deeper stack (the one-hot push/pop cost scales with it — don't pay it
+# in the default configuration).
+STACK_DEPTH = 64 if _W <= 8 else 128
 
 
 class Hit(NamedTuple):
@@ -129,20 +135,36 @@ def _brute_planes(scene: Scene, ro, rd, t_min, t_max) -> Hit:
 # row are computed every iteration (lock-step SIMD across the vmapped ray
 # batch; ALU is ~300 flops and free next to the gather) and the tag selects.
 
-_SORT8_PAIRS = (  # Batcher odd-even mergesort network for 8 lanes (19 CEs)
-    (0, 1), (2, 3), (4, 5), (6, 7),
-    (0, 2), (1, 3), (4, 6), (5, 7),
-    (1, 2), (5, 6),
-    (0, 4), (1, 5), (2, 6), (3, 7),
-    (2, 4), (3, 5),
-    (1, 2), (3, 4), (5, 6),
-)
+def batcher_pairs(n: int) -> tuple[tuple[int, int], ...]:
+    """Batcher odd-even mergesort compare-exchange network for n lanes
+    (n a power of two): 19 CEs at n=8, 63 at n=16."""
+    def merge(lo, hi, r):
+        step = r * 2
+        if step < hi - lo:
+            yield from merge(lo, hi, step)
+            yield from merge(lo + r, hi, step)
+            for i in range(lo + r, hi - r, step):
+                yield (i, i + r)
+        else:
+            yield (lo, lo + r)
+
+    def sort(lo, hi):
+        if hi - lo >= 1:
+            mid = lo + (hi - lo) // 2
+            yield from sort(lo, mid)
+            yield from sort(mid + 1, hi)
+            yield from merge(lo, hi, 1)
+
+    return tuple(sort(0, n - 1))
 
 
-def _sort8_desc(keys: Array, vals: Array) -> tuple[Array, Array]:
-    """Sort 8 (key, val) pairs descending by key via a sorting network —
+_SORTW_PAIRS = batcher_pairs(_W)
+
+
+def _sortw_desc(keys: Array, vals: Array) -> tuple[Array, Array]:
+    """Sort W (key, val) pairs descending by key via a sorting network —
     cheap select chains instead of a general argsort in the hot loop."""
-    for a, b in _SORT8_PAIRS:
+    for a, b in _SORTW_PAIRS:
         ka, kb = keys[a], keys[b]
         va, vb = vals[a], vals[b]
         swap = ka < kb
@@ -160,37 +182,39 @@ _NEG_BIG = -3.0e38  # plain float: a module-level jnp scalar would
 
 
 def _visit_internal(rec: Array, is_leaf, ro, inv_d, t_min, cur_t_max):
-    """Slab-test the 8 children of an internal record (math/BBox.h:122-146)
+    """Slab-test the W children of an internal record (math/BBox.h:122-146)
     and pack hit child refs far-to-near (LIFO stack → nearest pops first).
 
-    Returns (packed_refs [8], n_push)."""
-    t0x = (rec[0:8] - ro[0]) * inv_d[0]
-    t0y = (rec[8:16] - ro[1]) * inv_d[1]
-    t0z = (rec[16:24] - ro[2]) * inv_d[2]
-    t1x = (rec[24:32] - ro[0]) * inv_d[0]
-    t1y = (rec[32:40] - ro[1]) * inv_d[1]
-    t1z = (rec[40:48] - ro[2]) * inv_d[2]
+    Returns (packed_refs [W], n_push)."""
+    W = _W
+    t0x = (rec[0:W] - ro[0]) * inv_d[0]
+    t0y = (rec[W:2 * W] - ro[1]) * inv_d[1]
+    t0z = (rec[2 * W:3 * W] - ro[2]) * inv_d[2]
+    t1x = (rec[3 * W:4 * W] - ro[0]) * inv_d[0]
+    t1y = (rec[4 * W:5 * W] - ro[1]) * inv_d[1]
+    t1z = (rec[5 * W:6 * W] - ro[2]) * inv_d[2]
     tnear = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
                         jnp.minimum(t0z, t1z))
     tfar = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                        jnp.maximum(t0z, t1z))
     box_hit = (jnp.maximum(tnear, t_min) <= jnp.minimum(tfar, cur_t_max)) \
         & (tfar >= t_min)
-    cref = rec[48:56].astype(jnp.int32)   # refs are exact f32 values
+    cref = rec[6 * W:7 * W].astype(jnp.int32)   # refs are exact f32 values
     push = box_hit & (cref != 0) & ~is_leaf
     key = jnp.where(push, tnear, -jnp.inf)
-    skey, packed = _sort8_desc(key, cref)
+    skey, packed = _sortw_desc(key, cref)
     n_push = jnp.sum((skey > _NEG_BIG).astype(jnp.int32))
     return packed, n_push
 
 
 def _visit_leaf(rec: Array, ro, rd, t_min, cur_t_max):
-    """Shirley barycentric test (Triangle.h:97-162) on a leaf record's ≤12
+    """Shirley barycentric test (Triangle.h:97-162) on a leaf record's ≤K
     triangles.  A,B,C / D,E,F are the precomputed v0-v1 / v0-v2 edges —
-    identical arithmetic to ``intersect_triangles``.
+    identical arithmetic to ``intersect_triangles``.  ``rec`` is the leaf's
+    LEAF_ROWS rows flattened.
 
-    Returns (t, beta, gamma, valid, tri_idx), each [12]."""
-    K = 12
+    Returns (t, beta, gamma, valid, tri_idx), each [K]."""
+    K = _LEAF_K
     v0x, v0y, v0z = rec[0:K], rec[K:2 * K], rec[2 * K:3 * K]
     A, B, C = rec[3 * K:4 * K], rec[4 * K:5 * K], rec[5 * K:6 * K]
     D, E, F = rec[6 * K:7 * K], rec[7 * K:8 * K], rec[8 * K:9 * K]
@@ -238,13 +262,24 @@ def _pop(stack, sp):
 
 def _push(stack, sp, packed, n_push):
     """Write packed[0:n_push] at stack[sp:sp+n_push], densely (see _pop):
-    each slot i takes packed[i - sp] via a [STACK_DEPTH, 8] one-hot."""
-    sp_safe = jnp.minimum(sp, STACK_DEPTH - 8)
+    each slot i takes packed[i - sp] via a [STACK_DEPTH, W] one-hot."""
+    sp_safe = jnp.minimum(sp, STACK_DEPTH - _W)
     rel = jnp.arange(STACK_DEPTH, dtype=jnp.int32) - sp_safe
     sel = (rel >= 0) & (rel < n_push)
-    oh8 = rel[:, None] == jnp.arange(8, dtype=jnp.int32)[None, :]
-    gathered = jnp.sum(jnp.where(oh8, packed[None, :], 0), axis=1)
+    ohw = rel[:, None] == jnp.arange(_W, dtype=jnp.int32)[None, :]
+    gathered = jnp.sum(jnp.where(ohw, packed[None, :], 0), axis=1)
     return jnp.where(sel, gathered, stack), sp_safe + n_push
+
+
+def _fetch_rows(records, ref):
+    """The record row(s) for |ref|-1, flattened: one row at LEAF_ROWS=1
+    (the default layout), LEAF_ROWS consecutive rows for multi-row leaves
+    (internal visits then carry one junk row — harmless, they only read the
+    first 7W floats)."""
+    idx = jnp.abs(ref) - 1
+    if _LEAF_ROWS == 1:
+        return records[idx]
+    return jax.lax.dynamic_slice_in_dim(records, idx, _LEAF_ROWS, 0).reshape(-1)
 
 
 def _bvh_closest(scene: Scene, ro, rd, t_min, t_max) -> Hit:
@@ -260,7 +295,7 @@ def _bvh_closest(scene: Scene, ro, rd, t_min, t_max) -> Hit:
         ref = _pop(stack, sp)
         sp = sp - 1
         is_leaf = ref < 0
-        rec = records[jnp.abs(ref) - 1]
+        rec = _fetch_rows(records, ref)
         cur_t_max = jnp.minimum(t_max, jnp.where(best.valid, best.t, INF_DISTANCE))
 
         packed, n_push = _visit_internal(rec, is_leaf, ro, inv_d, t_min, cur_t_max)
@@ -296,7 +331,7 @@ def _bvh_any(scene: Scene, ro, rd, t_min, t_max) -> Array:
         ref = _pop(stack, sp)
         sp = sp - 1
         is_leaf = ref < 0
-        rec = records[jnp.abs(ref) - 1]
+        rec = _fetch_rows(records, ref)
 
         packed, n_push = _visit_internal(rec, is_leaf, ro, inv_d, t_min, t_max)
         _, _, _, valid, _ = _visit_leaf(rec, ro, rd, t_min, t_max)

@@ -53,18 +53,30 @@ in HBM; pack asserts enforce it).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .types import BVHArrays
 
 __all__ = ["build_bvh_wide", "build_nodes", "tree_depth", "pack_records",
            "make_bvh_arrays", "make_packed_records",
-           "LEAF_SIZE", "WIDTH", "RECORD_WIDTH"]
+           "LEAF_SIZE", "WIDTH", "RECORD_WIDTH", "LEAF_ROWS"]
 
-LEAF_SIZE = 12  # record rows fit 12 triangles (reference uses 4,
-                # BVHAccelerator.h:211 — topology is ours to choose)
-WIDTH = 8       # branching factor (power of two)
+# Topology knobs (A/B-able via env, read once at import: the kernels bake
+# them as Python constants).  Defaults are the shipped configuration; the
+# geometry cache key salts both, so switching never serves a stale layout.
+LEAF_SIZE = int(os.environ.get("SIMPLEPATH_BVH_LEAF", "12"))
+                # triangles per leaf (reference uses 4, BVHAccelerator.h:211
+                # — topology is ours to choose); >12 spills to multi-row
+                # leaves (LEAF_ROWS consecutive record rows per leaf)
+WIDTH = int(os.environ.get("SIMPLEPATH_BVH_WIDTH", "8"))
+                # branching factor (power of two; 6W+... floats must fit a row)
 RECORD_WIDTH = 128
+
+# rows per leaf record: 9 floats/triangle (v0, e1, e2) + 3 meta floats
+LEAF_ROWS = -(-(9 * LEAF_SIZE + 3) // RECORD_WIDTH)
+assert 7 * WIDTH <= RECORD_WIDTH, "internal row overflow (boxes+refs)"
 
 
 def _cut_range(idx: np.ndarray, centroids: np.ndarray, L: int, k: int,
@@ -225,22 +237,25 @@ def pack_records(nodes: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     leaf_count = counts[leaf_mask]                                # [L]
     assert leaf_count.max(initial=0) <= leaf_cap
     L = leaf_first.shape[0]
-    M = Nn + L
+    M = Nn + L * LEAF_ROWS
     assert M < (1 << 24), "record ROW refs stored as exact f32 (row count limit)"
     assert base_offset + v0.shape[0] < (1 << (24 + BASE_SHIFT)), \
         "leaf base_hi must stay exact f32"
     rec = np.zeros((M, RECORD_WIDTH), np.float32)
 
-    # child refs: 0 empty, +row+1 internal, -(row+1) leaf (exact f32 values)
+    # child refs: 0 empty, +row+1 internal, -(first row+1) leaf (exact f32);
+    # a leaf owns LEAF_ROWS consecutive rows starting at its referenced row
     ref = np.zeros((Nn, W), np.float32)
     internal = child_meta[:, :, 0] >= 0
     ref[internal] = child_meta[:, :, 0][internal] + 1
-    ref[leaf_mask] = -(Nn + np.arange(L, dtype=np.float32) + 1)
+    ref[leaf_mask] = -(Nn + LEAF_ROWS * np.arange(L, dtype=np.float32) + 1)
 
+    # internal rows: box SoA at [0:6W] (lo.x*W, lo.y*W, lo.z*W, hi.*), refs
+    # at [6W:7W] — identical to the historical layout at W=8
     for axis in range(3):
-        rec[:Nn, axis * 8:axis * 8 + 8] = child_box[:, :, axis]
-        rec[:Nn, 24 + axis * 8:32 + axis * 8] = child_box[:, :, 3 + axis]
-    rec[:Nn, 48:56] = ref
+        rec[:Nn, axis * W:axis * W + W] = child_box[:, :, axis]
+        rec[:Nn, (3 + axis) * W:(4 + axis) * W] = child_box[:, :, 3 + axis]
+    rec[:Nn, 6 * W:7 * W] = ref
 
     if L:
         K = leaf_cap
@@ -251,14 +266,19 @@ def pack_records(nodes: dict, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         V0 = np.where(valid[..., None], v0[idxc], 0.0)
         E1 = np.where(valid[..., None], v0[idxc] - v1[idxc], 0.0)
         E2 = np.where(valid[..., None], v0[idxc] - v2[idxc], 0.0)
+        # leaf payload is FLAT over the leaf's LEAF_ROWS*RECORD_WIDTH floats
+        # (v0 SoA, e1 SoA, e2 SoA, then base_lo/base_hi/count at 9K..9K+2) —
+        # identical to the historical single-row layout at K=12
+        flat = np.zeros((L, LEAF_ROWS * RECORD_WIDTH), np.float32)
         for axis in range(3):
-            rec[Nn:, axis * K:axis * K + K] = V0[:, :, axis]
-            rec[Nn:, 3 * K + axis * K:4 * K + axis * K] = E1[:, :, axis]
-            rec[Nn:, 6 * K + axis * K:7 * K + axis * K] = E2[:, :, axis]
+            flat[:, axis * K:axis * K + K] = V0[:, :, axis]
+            flat[:, (3 + axis) * K:(4 + axis) * K] = E1[:, :, axis]
+            flat[:, (6 + axis) * K:(7 + axis) * K] = E2[:, :, axis]
         gfirst = leaf_first + base_offset
-        rec[Nn:, 9 * K] = (gfirst & ((1 << BASE_SHIFT) - 1)).astype(np.float32)
-        rec[Nn:, 9 * K + 1] = (gfirst >> BASE_SHIFT).astype(np.float32)
-        rec[Nn:, 9 * K + 2] = leaf_count.astype(np.float32)
+        flat[:, 9 * K] = (gfirst & ((1 << BASE_SHIFT) - 1)).astype(np.float32)
+        flat[:, 9 * K + 1] = (gfirst >> BASE_SHIFT).astype(np.float32)
+        flat[:, 9 * K + 2] = leaf_count.astype(np.float32)
+        rec[Nn:] = flat.reshape(L * LEAF_ROWS, RECORD_WIDTH)
     return rec
 
 

@@ -27,7 +27,7 @@ def chase(records, n_hops, C):
                 buf = 2 * c + jax.lax.rem(i, 2)
                 nbuf = 2 * c + (1 - jax.lax.rem(i, 2))
                 pt._row_dma(records, rows, sem, buf, refs[c]).wait()
-                child = rows[buf, 48]
+                child = rows[buf * pt.R, 6 * pt.W]
                 nxt = jnp.where(child > 0.0, child, jnp.float32(1.0 + c))
                 @pl.when(i + 1 < n_hops)
                 def _():

@@ -109,7 +109,7 @@ def dma_chase(records, n_hops: int):
         def body(i, ref):
             buf = jax.lax.rem(i, 2)
             pt._row_dma(records, rows, sem, buf, ref).wait()
-            child = rows[buf, 48]       # first child ref of an internal row
+            child = rows[buf * pt.R, 6 * pt.W]       # first child ref of an internal row
             nxt = jnp.where((child > 0.0), child, jnp.float32(1.0))
 
             nbuf = 1 - buf
