@@ -290,13 +290,16 @@ def _coherence_order(alive, p, rd, lo, inv_extent):
     (200k) — argsort is stable, so ties preserve scanline/pixel order, which
     carries MORE sub-cell origin locality than any coarse direction binning.
     """
+    import os
+    bits = int(os.environ.get("SIMPLEPATH_SORT_BITS", "7"))  # ≤9 (3b+3 ≤ 32)
+    top = float((1 << bits) - 1)
     oct_ = ((rd[:, 0] < 0).astype(jnp.uint32) * 4
             + (rd[:, 1] < 0).astype(jnp.uint32) * 2
             + (rd[:, 2] < 0).astype(jnp.uint32))
-    q = jnp.clip((p - lo) * inv_extent * 127.0, 0.0, 127.0).astype(jnp.uint32)
+    q = jnp.clip((p - lo) * inv_extent * top, 0.0, top).astype(jnp.uint32)
     m = ((_part1by2_u32(q[:, 0]) << 2) | (_part1by2_u32(q[:, 1]) << 1)
          | _part1by2_u32(q[:, 2]))
-    key = (oct_ << 21) | m
+    key = (oct_ << (3 * bits)) | m
     key = jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
     return jnp.argsort(key)
 

@@ -67,7 +67,7 @@ def main():
     for d in range(D):
         counts = rec[d, :, 110]
         leaf = counts > 0
-        rows.append(int((np.abs(rec[d]).sum(axis=1) > 0).sum()))
+        rows.append(int((rec[d] != 0).any(axis=1).sum()))
         occs.append(float(counts[leaf].mean()))
     print(f"forest build COLD (incl. cache save): {t_cold:.0f}s; "
           f"{D} shards, padded rows {M:,} each "

@@ -153,12 +153,15 @@ def main():
     d2 = jax.random.normal(jax.random.PRNGKey(1), (N, 3))
     rd2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
 
+    count_only = os.environ.get("COUNT_ONLY") == "1"
     for label, (o, d) in (("primary", (ro, rd)), ("incoherent", (ro2, rd2))):
         ni, nl = counting_closest(rec, o, d, t_min, t_max)
         tot = ni + nl
         print(f"{label}: visits/packet mean={tot.mean():.0f} "
               f"(int {ni.mean():.0f} / leaf {nl.mean():.0f}) "
-              f"max={tot.max()} visits/ray={tot.sum()/N:.2f}")
+              f"max={tot.max()} visits/ray={tot.sum()/N:.2f}", flush=True)
+        if count_only:
+            continue
 
         f = jax.jit(lambda o, d, a, b: pt.packet_closest(rec, o, d, a, b))
         dt = timeit(f, o, d, t_min, t_max, vary=2, iters=5)
@@ -168,6 +171,8 @@ def main():
         print(f"  closest P={P}: {dt*1e3:.2f} ms -> {dt*1e9/tot.sum():.0f} "
               f"ns/visit ({dt*1e9/steps:.0f} ns/interleaved-step)")
 
+    if count_only:
+        return
     # serial DMA latency floor
     HOPS = 20000
     f = jax.jit(lambda r: dma_chase(r, HOPS))
