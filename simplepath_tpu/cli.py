@@ -61,6 +61,9 @@ def main(argv=None) -> int:
                     help="shard the BVH across N devices (geometry/'model' "
                          "parallelism for scenes too large to replicate); "
                          "rays are replicated instead of sharded")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the render into "
+                         "DIR (view with TensorBoard / xprof)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
@@ -77,8 +80,6 @@ def main(argv=None) -> int:
 
     from . import load_scene, parse_sp
     from .io.pfm import write_image
-    from .parallel.mesh import render_image_sharded
-    from .render.film import render_image_progressive
     from .scene.build import build_scene
 
     t0 = time.time()
@@ -93,7 +94,42 @@ def main(argv=None) -> int:
         out_dir = os.path.dirname(os.path.abspath(args.scene))
     t_parse = time.time() - t0
 
+    import contextlib
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
+
     t0 = time.time()
+    with prof:
+        img = _render(ap, args, scene, out_dir)
+    t_render = time.time() - t0
+
+    out = args.output or os.path.join(out_dir, scene.static.output_file_name)
+    import numpy as np
+    write_image(out, np.asarray(img))
+
+    w, h = scene.static.width, scene.static.height
+    rays = w * h * args.samples
+    print(f"Wrote {out}")
+    if args.profile:
+        print(f"Profiler trace written to {args.profile}")
+    elapsed = t_parse + t_render
+    hh, rem = divmod(int(elapsed), 3600)
+    mm, ss = divmod(rem, 60)
+    cc = int((elapsed - int(elapsed)) * 100)
+    print(f"Elapsed time: {hh:02d}:{mm:02d}:{ss:02d}.{cc:02d}")
+    if args.stats:
+        print(f"parse: {t_parse:.2f}s  render: {t_render:.2f}s  "
+              f"primary rays/s: {rays / max(t_render, 1e-9):,.0f}")
+    return 0
+
+
+def _render(ap, args, scene, out_dir):
+    """Dispatch to the right render path; returns the finished film."""
+    import jax
+
+    from .parallel.mesh import render_image_sharded
+    from .render.film import render_image_progressive
+
     if args.geom_shards > 1:
         import numpy as np
         from jax.sharding import Mesh
@@ -136,24 +172,7 @@ def main(argv=None) -> int:
         img = render_image_sharded(scene, args.samples,
                                    jax.random.PRNGKey(args.seed))
     img.block_until_ready()
-    t_render = time.time() - t0
-
-    out = args.output or os.path.join(out_dir, scene.static.output_file_name)
-    import numpy as np
-    write_image(out, np.asarray(img))
-
-    w, h = scene.static.width, scene.static.height
-    rays = w * h * args.samples
-    print(f"Wrote {out}")
-    elapsed = t_parse + t_render
-    hh, rem = divmod(int(elapsed), 3600)
-    mm, ss = divmod(rem, 60)
-    cc = int((elapsed - int(elapsed)) * 100)
-    print(f"Elapsed time: {hh:02d}:{mm:02d}:{ss:02d}.{cc:02d}")
-    if args.stats:
-        print(f"parse: {t_parse:.2f}s  render: {t_render:.2f}s  "
-              f"primary rays/s: {rays / max(t_render, 1e-9):,.0f}")
-    return 0
+    return img
 
 
 if __name__ == "__main__":
