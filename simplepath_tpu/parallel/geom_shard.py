@@ -201,13 +201,22 @@ def shard_scene_geometry(scene, mesh: Mesh, cache_dir: str | None = None):
                 records=stacked, v0=tv0, v1=tv1, v2=tv2,
                 n0=tn0, n1=tn1, n2=tn2, material_id=tmid))
 
-    records = jax.device_put(jnp.asarray(stacked),
-                             NamedSharding(mesh, P(GEOM_AXIS)))
+    # make_array_from_callback instead of device_put: each process
+    # materializes only its ADDRESSABLE shards, so the same call works on a
+    # single-process mesh and on a mesh spanning processes (each host then
+    # holds only its slice of the forest — geometry sharding over DCN)
+    records = jax.make_array_from_callback(
+        stacked.shape, NamedSharding(mesh, P(GEOM_AXIS)),
+        lambda idx: stacked[idx])
     triangles = TriangleArrays.from_rows(tv0, tv1, tv2, tn0, tn1, tn2, tmid)
     static = dataclasses.replace(scene.static, has_bvh=True,
                                  geom_shards=D)
     return dataclasses.replace(scene, static=static, triangles=triangles,
                                bvh=BVHArrays(records=records))
+
+
+def _mesh_is_multiprocess(mesh: Mesh) -> bool:
+    return len({d.process_index for d in mesh.devices.flat}) > 1
 
 
 def render_image_geom_sharded(scene, spp: int, key, mesh: Mesh,
@@ -220,10 +229,23 @@ def render_image_geom_sharded(scene, spp: int, key, mesh: Mesh,
     is replicated on every device and the BVH record table is what's
     sharded — every device traverses all rays against its sub-forest and
     the min-t/OR combine in sharded_closest/anyhit merges the shards.
-    Rays are chunked on host to bound live-wavefront memory."""
+    Rays are chunked on host to bound live-wavefront memory.
+
+    The mesh may span PROCESSES (each host holding its forest shards, the
+    min-t combine riding DCN): every process calls this with the same
+    scene/key and receives the full film.  Multi-process support is
+    currently 1-D (geom axis only; rays replicated)."""
     import jax.numpy as jnp
 
     from .mesh import _render_rays_jit, _spp_splits
+
+    if _mesh_is_multiprocess(mesh):
+        if RAY_AXIS in mesh.axis_names and mesh.shape[RAY_AXIS] > 1:
+            raise NotImplementedError(
+                "multi-process geometry sharding currently supports the "
+                "1-D geom mesh (rays replicated)")
+        return _render_geom_sharded_multiprocess(
+            scene, spp, key, mesh, integrator, chunk_rays, spp_offset)
 
     h, w = scene.static.height, scene.static.width
     ys_g, xs_g = np.meshgrid(np.arange(h, dtype=np.int32),
@@ -268,6 +290,62 @@ def render_image_geom_sharded(scene, spp: int, key, mesh: Mesh,
             out.append(acc)
         flat = jnp.concatenate(out, axis=0)
         return flat[:n].reshape(h, w, 3)
+
+
+def _render_geom_sharded_multiprocess(scene, spp: int, key, mesh: Mesh,
+                                      integrator, chunk_rays: int,
+                                      spp_offset: int):
+    """Multi-process leg of render_image_geom_sharded: the forest shards
+    live on different HOSTS (sharded_closest's pmin/psum then ride DCN);
+    everything else — rays, scene tables, the film — is replicated, so
+    each process reads the complete frame from its local shard."""
+    import jax.numpy as jnp
+
+    from ..render.film import render_rays
+    from .mesh import _spp_splits
+
+    rep = NamedSharding(mesh, P())
+
+    def globalize(a):
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            return a  # already global (the sharded record table)
+        np_a = np.asarray(a)
+        return jax.make_array_from_callback(np_a.shape, rep,
+                                            lambda idx, _a=np_a: _a[idx])
+
+    gscene = jax.tree_util.tree_map(globalize, scene)
+    if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key):
+        gkey = jax.random.wrap_key_data(globalize(jax.random.key_data(key)))
+    else:
+        gkey = globalize(jnp.asarray(key))
+
+    fn = jax.jit(render_rays, static_argnames=("spp", "integrator"),
+                 out_shardings=rep)
+
+    h, w = scene.static.height, scene.static.width
+    ys_g, xs_g = np.meshgrid(np.arange(h, dtype=np.int32),
+                             np.arange(w, dtype=np.int32), indexing="ij")
+    xs_all, ys_all = xs_g.reshape(-1), ys_g.reshape(-1)
+    n = xs_all.shape[0]
+    n_pad = ((n + chunk_rays - 1) // chunk_rays) * chunk_rays
+    xs_all = np.pad(xs_all, (0, n_pad - n))
+    ys_all = np.pad(ys_all, (0, n_pad - n))
+
+    splits = _spp_splits(spp)
+    out = []
+    with set_geom_mesh(mesh):
+        for c0 in range(0, n_pad, chunk_rays):
+            xs = globalize(xs_all[c0:c0 + chunk_rays])
+            ys = globalize(ys_all[c0:c0 + chunk_rays])
+            acc = None
+            for off, cnt in splits:
+                s0 = globalize(np.asarray(spp_offset + off, np.int32))
+                part = fn(gscene, xs, ys, spp=cnt, key=gkey,
+                          integrator=integrator, spp_offset=s0) * (cnt / spp)
+                acc = part if acc is None else acc + part
+            out.append(np.asarray(acc.addressable_data(0)))
+    flat = np.concatenate(out, axis=0)
+    return flat[:n].reshape(h, w, 3)
 
 
 def _local_closest(records, ro, rd, t_min, t_max, interpret: bool):

@@ -262,3 +262,72 @@ def test_two_process_train_step_matches_single_process(tmp_path):
                                    err_msg=k)
     # and the step moved the params (a real gradient, not a zero no-op)
     assert np.abs(z0["mat_albedo"] - np.asarray(params["mat_albedo"])).max() > 1e-6
+
+
+GEOM_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1])
+addr = sys.argv[2]
+out = sys.argv[3]
+root = sys.argv[4]
+sys.path.insert(0, root)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=addr, num_processes=2,
+                           process_id=pid)
+import numpy as np
+from jax.sharding import Mesh
+from simplepath_tpu import load_scene
+from simplepath_tpu.parallel.geom_shard import (GEOM_AXIS,
+                                                render_image_geom_sharded,
+                                                shard_scene_geometry)
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+scene_path = os.path.join(root, "tests", "scenes", "g_blob.sp")
+mesh = Mesh(np.asarray(jax.devices()), (GEOM_AXIS,))
+scene = shard_scene_geometry(load_scene(scene_path, use_bvh=False), mesh)
+# each process holds only ITS 2 of the 4 forest shards
+assert not scene.bvh.records.is_fully_addressable
+assert len(scene.bvh.records.addressable_shards) == 2
+img = render_image_geom_sharded(scene, spp=2, key=jax.random.PRNGKey(11),
+                                mesh=mesh)
+np.save(os.path.join(out, f"geom_{pid}.npy"), img)
+"""
+
+
+def test_two_process_geometry_sharding_matches_replicated(tmp_path):
+    """The forest sharded ACROSS PROCESSES: 4 sub-BVHs over 2 hosts' 2+2
+    devices, min-t combine riding the (virtual) DCN.  Both processes must
+    assemble the same film, equal to the single-process replicated render
+    (same gate as the in-process geom tests)."""
+    import os
+
+    td = str(tmp_path)
+    with open(os.path.join(td, "worker.py"), "w") as fh:
+        fh.write(GEOM_WORKER)
+    addr = f"localhost:{_free_port()}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(td, "worker.py"), str(pid), addr,
+         td, ROOT],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for pid in (0, 1)]
+    outs = [p.communicate(timeout=560)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o.decode(errors="replace")[-2000:]
+
+    img0 = np.load(os.path.join(td, "geom_0.npy"))
+    img1 = np.load(os.path.join(td, "geom_1.npy"))
+    np.testing.assert_array_equal(img0, img1)
+
+    import jax
+
+    from simplepath_tpu import load_scene
+    from simplepath_tpu.parallel.mesh import render_image_sharded
+    ref = np.asarray(render_image_sharded(
+        load_scene(os.path.join(ROOT, "tests", "scenes", "g_blob.sp")),
+        spp=2, key=jax.random.PRNGKey(11)))
+    assert np.max(np.abs(img0 - ref)) < 1e-4, np.max(np.abs(img0 - ref))
