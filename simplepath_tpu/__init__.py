@@ -27,7 +27,7 @@ def _enable_compile_cache() -> None:
         # back to the user cache dir — the package parent may be read-only
         # or shared across projects.
         parent = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-        if _os.path.isdir(_os.path.join(parent, ".git")) and \
+        if _os.path.exists(_os.path.join(parent, ".git")) and \
                 _os.access(parent, _os.W_OK):
             path = _os.path.join(parent, ".jax_cache")
         else:

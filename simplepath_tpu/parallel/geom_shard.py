@@ -219,6 +219,18 @@ def _mesh_is_multiprocess(mesh: Mesh) -> bool:
     return len({d.process_index for d in mesh.devices.flat}) > 1
 
 
+def _frame_pixels(h: int, w: int, chunk_rays: int):
+    """Flat pixel coordinates of the frame, zero-padded to whole chunks:
+    (xs, ys, n, n_pad)."""
+    ys_g, xs_g = np.meshgrid(np.arange(h, dtype=np.int32),
+                             np.arange(w, dtype=np.int32), indexing="ij")
+    xs_all, ys_all = xs_g.reshape(-1), ys_g.reshape(-1)
+    n = xs_all.shape[0]
+    n_pad = ((n + chunk_rays - 1) // chunk_rays) * chunk_rays
+    return (np.pad(xs_all, (0, n_pad - n)), np.pad(ys_all, (0, n_pad - n)),
+            n, n_pad)
+
+
 def render_image_geom_sharded(scene, spp: int, key, mesh: Mesh,
                               integrator: str | None = None,
                               chunk_rays: int = 1 << 16,
@@ -248,19 +260,13 @@ def render_image_geom_sharded(scene, spp: int, key, mesh: Mesh,
             scene, spp, key, mesh, integrator, chunk_rays, spp_offset)
 
     h, w = scene.static.height, scene.static.width
-    ys_g, xs_g = np.meshgrid(np.arange(h, dtype=np.int32),
-                             np.arange(w, dtype=np.int32), indexing="ij")
-    xs_all, ys_all = xs_g.reshape(-1), ys_g.reshape(-1)
-    n = xs_all.shape[0]
     # on a 2-D mesh each pixel chunk is sharded over RAY_AXIS, so its length
     # must divide evenly; round up rather than fail with an opaque
     # device_put/shard_map sharding error deep in jax
     if RAY_AXIS in mesh.axis_names:
         r = int(mesh.shape[RAY_AXIS])
         chunk_rays = ((chunk_rays + r - 1) // r) * r
-    n_pad = ((n + chunk_rays - 1) // chunk_rays) * chunk_rays
-    xs_all = np.pad(xs_all, (0, n_pad - n))
-    ys_all = np.pad(ys_all, (0, n_pad - n))
+    xs_all, ys_all, n, n_pad = _frame_pixels(h, w, chunk_rays)
 
     # module-cached jit (shared with the ray-sharded path: repeated calls
     # reuse one compiled executable) + the TPU-fallback watchdog guard —
@@ -292,6 +298,22 @@ def render_image_geom_sharded(scene, spp: int, key, mesh: Mesh,
         return flat[:n].reshape(h, w, 3)
 
 
+_MP_RENDER_JIT: dict = {}
+
+
+def _mp_render_jit(mesh: Mesh):
+    """Per-mesh cached jit with replicated output (the multi-process
+    sibling of mesh._render_rays_jit — repeated calls must reuse one
+    compiled executable, not retrace)."""
+    fn = _MP_RENDER_JIT.get(mesh)
+    if fn is None:
+        from ..render.film import render_rays
+        fn = jax.jit(render_rays, static_argnames=("spp", "integrator"),
+                     out_shardings=NamedSharding(mesh, P()))
+        _MP_RENDER_JIT[mesh] = fn
+    return fn
+
+
 def _render_geom_sharded_multiprocess(scene, spp: int, key, mesh: Mesh,
                                       integrator, chunk_rays: int,
                                       spp_offset: int):
@@ -299,38 +321,20 @@ def _render_geom_sharded_multiprocess(scene, spp: int, key, mesh: Mesh,
     live on different HOSTS (sharded_closest's pmin/psum then ride DCN);
     everything else — rays, scene tables, the film — is replicated, so
     each process reads the complete frame from its local shard."""
-    import jax.numpy as jnp
-
-    from ..render.film import render_rays
     from .mesh import _spp_splits
-
-    rep = NamedSharding(mesh, P())
+    from .multihost import _global_from_replicated, _global_key
 
     def globalize(a):
         if isinstance(a, jax.Array) and not a.is_fully_addressable:
             return a  # already global (the sharded record table)
-        np_a = np.asarray(a)
-        return jax.make_array_from_callback(np_a.shape, rep,
-                                            lambda idx, _a=np_a: _a[idx])
+        return _global_from_replicated(mesh, a)
 
     gscene = jax.tree_util.tree_map(globalize, scene)
-    if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key):
-        gkey = jax.random.wrap_key_data(globalize(jax.random.key_data(key)))
-    else:
-        gkey = globalize(jnp.asarray(key))
-
-    fn = jax.jit(render_rays, static_argnames=("spp", "integrator"),
-                 out_shardings=rep)
+    gkey = _global_key(mesh, key)
+    fn = _mp_render_jit(mesh)
 
     h, w = scene.static.height, scene.static.width
-    ys_g, xs_g = np.meshgrid(np.arange(h, dtype=np.int32),
-                             np.arange(w, dtype=np.int32), indexing="ij")
-    xs_all, ys_all = xs_g.reshape(-1), ys_g.reshape(-1)
-    n = xs_all.shape[0]
-    n_pad = ((n + chunk_rays - 1) // chunk_rays) * chunk_rays
-    xs_all = np.pad(xs_all, (0, n_pad - n))
-    ys_all = np.pad(ys_all, (0, n_pad - n))
-
+    xs_all, ys_all, n, n_pad = _frame_pixels(h, w, chunk_rays)
     splits = _spp_splits(spp)
     out = []
     with set_geom_mesh(mesh):

@@ -68,6 +68,14 @@ def _global_from_computed(mesh, np_arr) -> jax.Array:
                                         lambda idx: np_arr[idx])
 
 
+def _global_key(mesh, key) -> jax.Array:
+    """Replicate a PRNG key (new-style or legacy uint32[2]) over the mesh."""
+    if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key):
+        return jax.random.wrap_key_data(
+            _global_from_replicated(mesh, jax.random.key_data(key)))
+    return _global_from_replicated(mesh, key)
+
+
 def train_step_multihost(scene: Scene, params, target_flat, xs, ys, spp: int,
                          key, integrator: str | None = None, lr: float = 0.05,
                          mesh=None):
@@ -99,11 +107,7 @@ def train_step_multihost(scene: Scene, params, target_flat, xs, ys, spp: int,
         mesh, np.asarray(target_flat, np.float32))
     gxs = _global_from_computed(mesh, np.asarray(xs, np.int32))
     gys = _global_from_computed(mesh, np.asarray(ys, np.int32))
-    if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key):
-        gkey = jax.random.wrap_key_data(
-            _global_from_replicated(mesh, jax.random.key_data(key)))
-    else:
-        gkey = _global_from_replicated(mesh, key)
+    gkey = _global_key(mesh, key)
 
     step = jax.jit(make_train_step(gscene, spp, integrator, lr))
     new_params, loss = step(gparams, gtarget, gxs, gys, gkey)
@@ -146,11 +150,7 @@ def render_image_multihost(scene: Scene, spp: int, key,
 
     gscene = jax.tree_util.tree_map(lambda a: _global_from_replicated(mesh, a),
                                     scene)
-    if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key):
-        gkey = jax.random.wrap_key_data(
-            _global_from_replicated(mesh, jax.random.key_data(key)))
-    else:  # legacy raw uint32[2] key
-        gkey = _global_from_replicated(mesh, key)
+    gkey = _global_key(mesh, key)
 
     fn = jax.jit(render_rays, static_argnames=("spp", "integrator"),
                  out_shardings=NamedSharding(mesh, P("rays")))

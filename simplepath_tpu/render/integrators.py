@@ -275,6 +275,15 @@ def _part1by2_u32(x):
     return x
 
 
+# Origin-cell quantization of the coherence-sort key, read ONCE at import
+# (trace-time env reads are silently sticky) and clamped so the key fits
+# uint32 (3 octant bits + 3*bits Morton <= 32).  7 is the measured default;
+# 5 and 9 measured flat (PERF.md round 5).
+import os as _os
+
+_SORT_BITS = min(9, max(1, int(_os.environ.get("SIMPLEPATH_SORT_BITS", "7"))))
+
+
 def _coherence_order(alive, p, rd, lo, inv_extent):
     """Permutation that groups rays into coherent packets for the next bounce.
 
@@ -290,8 +299,7 @@ def _coherence_order(alive, p, rd, lo, inv_extent):
     (200k) — argsort is stable, so ties preserve scanline/pixel order, which
     carries MORE sub-cell origin locality than any coarse direction binning.
     """
-    import os
-    bits = int(os.environ.get("SIMPLEPATH_SORT_BITS", "7"))  # ≤9 (3b+3 ≤ 32)
+    bits = _SORT_BITS
     top = float((1 << bits) - 1)
     oct_ = ((rd[:, 0] < 0).astype(jnp.uint32) * 4
             + (rd[:, 1] < 0).astype(jnp.uint32) * 2

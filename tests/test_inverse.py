@@ -19,8 +19,9 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 import pytest
+
+optax = pytest.importorskip("optax")  # undeclared optional dep
 
 from simplepath_tpu import build_scene, parse_sp
 from simplepath_tpu.diff.grad import get_params, render_loss

@@ -70,7 +70,11 @@ def main(argv):
                          f"(choose from {all_names})")
 
     floors = {}
-    if os.path.exists(FLOORS) and names != all_names:
+    if names != all_names:
+        if not os.path.exists(FLOORS):
+            raise SystemExit(
+                "recalibrating a subset requires an existing "
+                f"{FLOORS} to merge into — run with no arguments first")
         with open(FLOORS) as f:
             floors = json.load(f)
 

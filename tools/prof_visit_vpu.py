@@ -18,7 +18,7 @@ SCENE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
                      "scenes", "bunny_bench.sp")
 SUB, LANES = pt.SUB, pt.LANES
 W, K, INF, NEG_INF = pt.W, pt.K, pt.INF, pt.NEG_INF
-_SORT8 = pt._SORT8
+_SORT8 = pt._SORTW
 
 def make_kernel(mode, M):
     def kernel(seed_r, records, out, rows, sem):
