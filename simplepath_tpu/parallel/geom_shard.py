@@ -252,10 +252,9 @@ def render_image_geom_sharded(scene, spp: int, key, mesh: Mesh,
     from .mesh import _render_rays_jit, _spp_splits
 
     if _mesh_is_multiprocess(mesh):
-        if RAY_AXIS in mesh.axis_names and mesh.shape[RAY_AXIS] > 1:
-            raise NotImplementedError(
-                "multi-process geometry sharding currently supports the "
-                "1-D geom mesh (rays replicated)")
+        if RAY_AXIS in mesh.axis_names:
+            r = int(mesh.shape[RAY_AXIS])
+            chunk_rays = ((chunk_rays + r - 1) // r) * r
         return _render_geom_sharded_multiprocess(
             scene, spp, key, mesh, integrator, chunk_rays, spp_offset)
 
@@ -302,14 +301,14 @@ _MP_RENDER_JIT: dict = {}
 
 
 def _mp_render_jit(mesh: Mesh):
-    """Per-mesh cached jit with replicated output (the multi-process
-    sibling of mesh._render_rays_jit — repeated calls must reuse one
-    compiled executable, not retrace)."""
+    """Per-mesh cached jit whose output sharding matches the mesh's ray
+    spec (the multi-process sibling of mesh._render_rays_jit — repeated
+    calls must reuse one compiled executable, not retrace)."""
     fn = _MP_RENDER_JIT.get(mesh)
     if fn is None:
         from ..render.film import render_rays
         fn = jax.jit(render_rays, static_argnames=("spp", "integrator"),
-                     out_shardings=NamedSharding(mesh, P()))
+                     out_shardings=NamedSharding(mesh, _ray_spec(mesh)))
         _MP_RENDER_JIT[mesh] = fn
     return fn
 
@@ -318,16 +317,27 @@ def _render_geom_sharded_multiprocess(scene, spp: int, key, mesh: Mesh,
                                       integrator, chunk_rays: int,
                                       spp_offset: int):
     """Multi-process leg of render_image_geom_sharded: the forest shards
-    live on different HOSTS (sharded_closest's pmin/psum then ride DCN);
-    everything else — rays, scene tables, the film — is replicated, so
-    each process reads the complete frame from its local shard."""
+    live on different HOSTS (sharded_closest's pmin/psum then ride DCN).
+    On a 1-D geom mesh the rays and film are replicated, so each process
+    reads the complete frame locally; on the 2-D rays x geom production
+    layout the pixel chunks are additionally sharded over RAY_AXIS and the
+    film shards are all-gathered across processes at the end."""
+    from jax.experimental import multihost_utils
+
     from .mesh import _spp_splits
     from .multihost import _global_from_replicated, _global_key
+
+    rays_sharded = RAY_AXIS in mesh.axis_names
+    ray_sh = NamedSharding(mesh, _ray_spec(mesh))
 
     def globalize(a):
         if isinstance(a, jax.Array) and not a.is_fully_addressable:
             return a  # already global (the sharded record table)
         return _global_from_replicated(mesh, a)
+
+    def globalize_rays(np_arr):
+        return jax.make_array_from_callback(np_arr.shape, ray_sh,
+                                            lambda idx: np_arr[idx])
 
     gscene = jax.tree_util.tree_map(globalize, scene)
     gkey = _global_key(mesh, key)
@@ -339,15 +349,19 @@ def _render_geom_sharded_multiprocess(scene, spp: int, key, mesh: Mesh,
     out = []
     with set_geom_mesh(mesh):
         for c0 in range(0, n_pad, chunk_rays):
-            xs = globalize(xs_all[c0:c0 + chunk_rays])
-            ys = globalize(ys_all[c0:c0 + chunk_rays])
+            xs = globalize_rays(xs_all[c0:c0 + chunk_rays])
+            ys = globalize_rays(ys_all[c0:c0 + chunk_rays])
             acc = None
             for off, cnt in splits:
                 s0 = globalize(np.asarray(spp_offset + off, np.int32))
                 part = fn(gscene, xs, ys, spp=cnt, key=gkey,
                           integrator=integrator, spp_offset=s0) * (cnt / spp)
                 acc = part if acc is None else acc + part
-            out.append(np.asarray(acc.addressable_data(0)))
+            if rays_sharded:
+                out.append(np.asarray(
+                    multihost_utils.process_allgather(acc, tiled=True)))
+            else:
+                out.append(np.asarray(acc.addressable_data(0)))
     flat = np.concatenate(out, axis=0)
     return flat[:n].reshape(h, w, 3)
 

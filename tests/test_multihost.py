@@ -294,6 +294,16 @@ assert len(scene.bvh.records.addressable_shards) == 2
 img = render_image_geom_sharded(scene, spp=2, key=jax.random.PRNGKey(11),
                                 mesh=mesh)
 np.save(os.path.join(out, f"geom_{pid}.npy"), img)
+
+# the 2-D production layout: pixel chunks sharded over RAY_AXIS (one ray
+# block per process here), forest over GEOM_AXIS; two chunks exercise the
+# cross-process film gather
+from simplepath_tpu.parallel.geom_shard import make_geom_mesh
+mesh2 = make_geom_mesh(2, 2)
+scene2 = shard_scene_geometry(load_scene(scene_path, use_bvh=False), mesh2)
+img2 = render_image_geom_sharded(scene2, spp=2, key=jax.random.PRNGKey(11),
+                                 mesh=mesh2, chunk_rays=1152)
+np.save(os.path.join(out, f"geom2d_{pid}.npy"), img2)
 """
 
 
@@ -322,6 +332,9 @@ def test_two_process_geometry_sharding_matches_replicated(tmp_path):
     img0 = np.load(os.path.join(td, "geom_0.npy"))
     img1 = np.load(os.path.join(td, "geom_1.npy"))
     np.testing.assert_array_equal(img0, img1)
+    img2_0 = np.load(os.path.join(td, "geom2d_0.npy"))
+    img2_1 = np.load(os.path.join(td, "geom2d_1.npy"))
+    np.testing.assert_array_equal(img2_0, img2_1)
 
     import jax
 
@@ -331,3 +344,4 @@ def test_two_process_geometry_sharding_matches_replicated(tmp_path):
         load_scene(os.path.join(ROOT, "tests", "scenes", "g_blob.sp")),
         spp=2, key=jax.random.PRNGKey(11)))
     assert np.max(np.abs(img0 - ref)) < 1e-4, np.max(np.abs(img0 - ref))
+    assert np.max(np.abs(img2_0 - ref)) < 1e-4, np.max(np.abs(img2_0 - ref))
