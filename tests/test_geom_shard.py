@@ -239,3 +239,54 @@ def test_geom_sharded_albedo_grad_matches_fd():
     g_rep_v = float(g_rep["mat_albedo"][1, 0])
     assert abs(g_ad - g_rep_v) < max(0.05 * abs(g_rep_v), 1e-4), \
         f"sharded {g_ad} vs replicated {g_rep_v}"
+
+
+def test_geom_sharded_2d_train_step():
+    """Training over the full dp x tp layout: pixel batch sharded over
+    RAY_AXIS, forest over GEOM_AXIS, one SGD step — SPMD AD inserts the
+    gradient psum over the rays axis while the detached forest combine
+    runs over the geom axis.  The updated albedo must match the
+    replicated-scene train step (same batch/key; geom tie-breaks and
+    reduction partitioning allow small fp drift)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from simplepath_tpu.diff.grad import get_params, make_train_step
+    from simplepath_tpu.parallel.geom_shard import (RAY_AXIS, make_geom_mesh,
+                                                    set_geom_mesh)
+
+    mesh = make_geom_mesh(2, 4)  # 4 ray blocks x 2 forest shards = 8 devices
+    scene = shard_scene_geometry(load_scene(BLOB, use_bvh=False), mesh)
+
+    g = np.arange(2, 48, 4, dtype=np.int32)  # 12x12 subsample, 144 % 4 == 0
+    xs_g, ys_g = np.meshgrid(g, g, indexing="xy")
+    ray_sh = NamedSharding(mesh, P(RAY_AXIS))
+    xs = jax.device_put(jnp.asarray(xs_g.reshape(-1)), ray_sh)
+    ys = jax.device_put(jnp.asarray(ys_g.reshape(-1)), ray_sh)
+    target = jax.device_put(jnp.full((xs.shape[0], 3), 0.25, jnp.float32),
+                            ray_sh)
+    rep = NamedSharding(mesh, P())
+    params = jax.tree_util.tree_map(lambda a: jax.device_put(a, rep),
+                                    get_params(scene))
+    key = jax.random.PRNGKey(2)
+
+    with set_geom_mesh(mesh):
+        step = jax.jit(make_train_step(scene, spp=2))
+        new_params, loss = step(params, target, xs, ys, key)
+        new_params = jax.tree_util.tree_map(np.asarray, new_params)
+    assert np.isfinite(float(loss))
+
+    # replicated-path reference: same batch, same key, plain scene
+    scene_rep = load_scene(BLOB)
+    params_rep = get_params(scene_rep)
+    step_rep = jax.jit(make_train_step(scene_rep, spp=2))
+    ref_params, ref_loss = step_rep(params_rep,
+                                    jnp.full((144, 3), 0.25, jnp.float32),
+                                    jnp.asarray(xs_g.reshape(-1)),
+                                    jnp.asarray(ys_g.reshape(-1)), key)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+    d_new = new_params["mat_albedo"] - np.asarray(params_rep["mat_albedo"])
+    d_ref = np.asarray(ref_params["mat_albedo"]) \
+        - np.asarray(params_rep["mat_albedo"])
+    assert np.abs(d_new).max() > 1e-7, "no update"
+    np.testing.assert_allclose(d_new, d_ref, rtol=0.05, atol=1e-6)
