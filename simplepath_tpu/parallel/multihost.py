@@ -76,6 +76,26 @@ def _global_key(mesh, key) -> jax.Array:
     return _global_from_replicated(mesh, key)
 
 
+def _coordination_barrier(name: str, timeout_ms: int = 900_000) -> None:
+    """Align all processes via the coordination service (NOT a device
+    collective).  Needed before the FIRST collective execution of a large
+    program: each process compiles independently, and on a loaded host the
+    compile times can diverge by minutes while the CPU gloo collective
+    context gives its key exchange only ~30 s — the fast process would
+    start executing and time out waiting for its still-compiling sibling
+    (observed as 'Gloo context initialization failed: DEADLINE_EXCEEDED').
+    No-op single-process; tolerates older jax layouts."""
+    if jax.process_count() <= 1:
+        return
+    try:
+        from jax._src import distributed as _dist
+        client = getattr(_dist.global_state, "client", None)
+        if client is not None:
+            client.wait_at_barrier(name, timeout_ms)
+    except Exception:  # pragma: no cover - version-dependent internals
+        pass
+
+
 def train_step_multihost(scene: Scene, params, target_flat, xs, ys, spp: int,
                          key, integrator: str | None = None, lr: float = 0.05,
                          mesh=None):
@@ -110,7 +130,11 @@ def train_step_multihost(scene: Scene, params, target_flat, xs, ys, spp: int,
     gkey = _global_key(mesh, key)
 
     step = jax.jit(make_train_step(gscene, spp, integrator, lr))
-    new_params, loss = step(gparams, gtarget, gxs, gys, gkey)
+    # AOT-compile, then align all processes BEFORE the first collective
+    # executes (see _coordination_barrier)
+    compiled = step.lower(gparams, gtarget, gxs, gys, gkey).compile()
+    _coordination_barrier("train_step_compiled")
+    new_params, loss = compiled(gparams, gtarget, gxs, gys, gkey)
     # params stay replicated (the psum'd gradient is identical everywhere),
     # so each process's local shard 0 IS the full value
     host_params = jax.tree_util.tree_map(

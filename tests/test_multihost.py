@@ -69,7 +69,9 @@ jax.config.update("jax_platforms", "cpu")
 # initialize BEFORE importing simplepath_tpu (whose module-level jnp
 # constants would initialize the XLA backend)
 jax.distributed.initialize(coordinator_address=addr, num_processes=2,
-                           process_id=pid)
+                           process_id=pid, shutdown_timeout_seconds=900)
+# (default shutdown barrier is 300 s; on the 2-vCPU CI host a worker's
+# independent compile can lag its sibling past that under load)
 from simplepath_tpu.parallel.multihost import render_image_multihost
 assert jax.process_count() == 2, jax.process_count()
 assert len(jax.devices()) == 4, jax.devices()
@@ -187,7 +189,9 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address=addr, num_processes=2,
-                           process_id=pid)
+                           process_id=pid, shutdown_timeout_seconds=900)
+# (default shutdown barrier is 300 s; on the 2-vCPU CI host a worker's
+# independent compile can lag its sibling past that under load)
 import numpy as np
 from simplepath_tpu import build_scene, parse_sp
 from simplepath_tpu.diff.grad import get_params
@@ -277,7 +281,9 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address=addr, num_processes=2,
-                           process_id=pid)
+                           process_id=pid, shutdown_timeout_seconds=900)
+# (default shutdown barrier is 300 s; on the 2-vCPU CI host a worker's
+# independent compile can lag its sibling past that under load)
 import numpy as np
 from jax.sharding import Mesh
 from simplepath_tpu import load_scene
